@@ -1,0 +1,70 @@
+"""Language inference for source files: extension map + content heuristics.
+
+Reference semantics: severity/keyword classification done per-row on the
+driver (``00_ingest_from_loghub.py:233``, ``10_dashboard_video.py:133-142``)
+recast for the CDC engine's input shape ``(repo, path, commit, lang, content)``
+— infer ``lang`` when the WAL event carries none. Vectorized: extension lookup
+via ``Series.str.extract`` + ``map``, shebang/keyword fallback via ``str.contains``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+EXT_LANG: dict[str, str] = {
+    "py": "python",
+    "rs": "rust",
+    "c": "c",
+    "h": "c",
+    "cc": "cpp",
+    "cpp": "cpp",
+    "go": "go",
+    "java": "java",
+    "js": "javascript",
+    "ts": "typescript",
+    "rb": "ruby",
+    "sh": "shell",
+    "md": "markdown",
+    "json": "json",
+    "yaml": "yaml",
+    "yml": "yaml",
+    "toml": "toml",
+    "sql": "sql",
+    "scala": "scala",
+    "txt": "text",
+}
+
+
+def infer_lang_series(path: pd.Series, content: pd.Series) -> pd.Series:
+    """Vectorized: extension map first, content heuristics as fallback."""
+    ext = path.str.extract(r"\.([A-Za-z0-9]+)$", expand=False).str.lower()
+    lang = ext.map(EXT_LANG)
+    # content fallbacks, applied only where still unknown
+    unknown = lang.isna()
+    if unknown.any():
+        c = content.where(unknown, "")
+        c = c.fillna("")
+        lang = lang.mask(unknown & c.str.startswith("#!/bin/"), "shell")
+        lang = lang.mask(unknown & c.str.contains(r"#!.*\bpython", regex=True), "python")
+        lang = lang.mask(
+            unknown & c.str.contains(r"\bdef \w+\(|\bimport \w+", regex=True), "python"
+        )
+        lang = lang.mask(unknown & c.str.contains(r"\bfn \w+\(.*\)\s*->", regex=True), "rust")
+        lang = lang.mask(unknown & c.str.contains(r"\bfunc \w+\(", regex=True), "go")
+    return lang.fillna("unknown")
+
+
+@F.pandas_udf(StringType())
+def infer_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
+    return infer_lang_series(path, content)
+
+
+def lang_from_extension_expr(path_col: str) -> "F.Column":
+    """Native CASE-chain over the extension map (oracle-replicable in SQL)."""
+    ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))
+    expr = F.lit("unknown")
+    for k, v in reversed(list(EXT_LANG.items())):
+        expr = F.when(ext == k, v).otherwise(expr)
+    return expr

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (array<float>).
+
+For a 100 TB training-data lake: brute-force cosine top-k as the exact
+baseline (broadcast the query vector, map-only score, TakeOrderedAndProject),
+and two scale paths — random-hyperplane LSH bucketing and a k-means-style IVF
+(inverted file) built with deterministic seed centroids — so the scored set
+shrinks from |corpus| to |bucket|. Dot products use native ``F.zip_with`` +
+``F.aggregate`` (codegen, no Python); a vectorized pandas-UDF variant exists
+for very wide vectors where numpy's BLAS beats the codegen'd fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
+    """Cosine similarity of each row's vector against a constant query vector.
+    The query is folded into the plan as a literal array (tiny; for large
+    batch-of-queries use the LSH/IVF join paths instead)."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    qn = float(np.linalg.norm(np.asarray(query, dtype="float64"))) or 1.0
+    return _dot(vec_col, q) / (F.when(_norm(vec_col) == 0, F.lit(1.0)).otherwise(_norm(vec_col)) * F.lit(qn))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: map-only scoring + global top-k.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each partition
+    keeps a k-heap, the driver merges P heaps; no full sort, no full shuffle.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_to_query(F.col(vec_col).cast("array<double>"), query), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_pandas(vec: pd.Series, query: pd.Series) -> pd.Series:
+    """Arrow-batched cosine for wide vectors: one numpy matmul per batch."""
+    m = np.stack(vec.to_numpy())
+    q = np.asarray(query.iloc[0], dtype="float64")
+    num = m @ q
+    den = np.linalg.norm(m, axis=1) * (np.linalg.norm(q) or 1.0)
+    den[den == 0] = 1.0
+    return pd.Series(num / den)
+
+
+def brute_force_topk_pandas(
+    df: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(_cosine_pandas(F.col(vec_col).cast("array<double>"), qlit), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path #1)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rhp_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id from n random hyperplanes (native fold per plane)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+        bit = F.when(_dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane sign-bucket is
+    within ``multiprobe_hamming`` bits of the query's bucket. At 100 TB the
+    bucket column is precomputed+persisted (a write-time index) so a query
+    touches |corpus| / 2^planes × (1 + planes) rows."""
+    q = np.asarray(query, dtype="float64")
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0)
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    bucketed = df.withColumn("__b", rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes))
+    cand = bucketed.where(F.col("__b").isin(probe))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# IVF (scale path #2): deterministic seeded centroids + cluster probe
+# --------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (native expression argmin).
+    Centroid count is small (≤256 here); at scale this is the partition /
+    clustering key the table is written by."""
+    vec = F.col(vec_col).cast("array<double>")
+    best_c, best_d = F.lit(-1), F.lit(float("inf"))
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)).cast("double") for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cond = d < best_d
+        best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return df.select(F.col(id_col), vec.alias(vec_col), best_c.alias("centroid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF probe: deterministic pseudo-centroids (seeded normals — standing in
+    for a k-means fit, which at scale runs once offline), search the n_probe
+    nearest cells only."""
+    q = np.asarray(query, dtype="float64")
+    rng = np.random.RandomState(seed)
+    centroids = rng.standard_normal((n_centroids, len(q))) * 0.1
+    dists = ((centroids - q) ** 2).sum(axis=1)
+    probe = np.argsort(dists)[:n_probe].tolist()
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.where(F.col("centroid").isin([int(p) for p in probe]))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold): bucket by hyperplane
+    signs, exact-verify within buckets via self-equi-join on the bucket id.
+    High-threshold pairs almost always share a bucket; recall/cost tunes via
+    n_planes. Never a cross join."""
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = _dot(F.col("l.v"), F.col("r.v")) / (
+        F.when(_norm(F.col("l.v")) == 0, 1.0).otherwise(_norm(F.col("l.v")))
+        * F.when(_norm(F.col("r.v")) == 0, 1.0).otherwise(_norm(F.col("r.v")))
+    )
+    return (
+        l.join(r, "__b")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,469 @@
+"""LakeVault — a from-scratch copy-on-write snapshot table format on Parquet.
+
+The engine's durable state. Iceberg-shaped, implemented over plain Parquet +
+JSON because (a) no Iceberg runtime jar is installed here and (b) the north
+rule's idempotent commit manifests / checkpointed offsets live naturally in
+the same metadata layer (SURVEY.md §7 "Decision — table format").
+
+Replaces, from the reference: Delta append/overwrite sinks
+(``01_ingest_raw_logs.py:213-218``, ``02_enrich_events.py:141-149``), Delta
+time travel (``docs/WEEK_1-4_GUIDE.md:157-171``), ``OPTIMIZE`` compaction
+(``01:255-262``) and ``VACUUM`` retention (``01:296-304`` — minus the
+dangerous ``RETAIN 0 HOURS``).
+
+Layout::
+
+    root/
+      _vault/version.json              atomic pointer {"snapshot_id": N}
+      _vault/snapshots/snap-<N>.json   immutable snapshot metadata
+      _vault/manifests/<batch_id>.json idempotent commit manifests
+      data/<file>.parquet              data files (bucketed by key hash)
+
+Atomicity: every metadata write is write-temp-then-``os.replace`` — atomic on
+POSIX local/NFS filesystems. (On S3-style object stores this pointer swap
+would go through a catalog/CAS service; documented limitation, same protocol.)
+
+Scale notes (100 TB): snapshots list data files with per-file row counts and
+key min/max, so a merge prunes to affected buckets without listing the
+filesystem; ``committed_batches`` is carried in the snapshot for O(1) replay
+idempotency checks (at 10^10 events / 10^4 batches this is a ~1 MB list; a
+real deployment would roll it into a bloom-filtered manifest file — noted,
+not needed at sandbox scale). Column identity is by **column id**, not name,
+so renames are metadata-only (no data rewrite) exactly like Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPARK_TYPE = {
+    "string": "string",
+    "long": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+    "int": "int",
+}
+
+
+@dataclass
+class TableSchema:
+    """Column-id-addressed schema (Iceberg-style rename promotion)."""
+
+    columns: list[dict[str, Any]]  # [{"id": int, "name": str, "type": str}]
+    next_id: int
+    schema_id: int = 0
+
+    @staticmethod
+    def from_names(cols: list[tuple[str, str]]) -> "TableSchema":
+        columns = [
+            {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(cols)
+        ]
+        return TableSchema(columns=columns, next_id=len(cols) + 1, schema_id=0)
+
+    def names(self) -> list[str]:
+        return [c["name"] for c in self.columns]
+
+    def add_column(self, name: str, typ: str) -> "TableSchema":
+        if name in self.names():
+            return self  # idempotent re-apply (batch replayed after crash)
+        cols = self.columns + [{"id": self.next_id, "name": name, "type": typ}]
+        return TableSchema(cols, self.next_id + 1, self.schema_id + 1)
+
+    def rename_column(self, old: str, new: str) -> "TableSchema":
+        if old not in self.names():
+            if new in self.names():
+                return self  # idempotent re-apply
+            raise KeyError(f"rename_column: no column named {old!r}")
+        cols = [dict(c, name=new) if c["name"] == old else dict(c) for c in self.columns]
+        return TableSchema(cols, self.next_id, self.schema_id + 1)
+
+    def to_json(self) -> dict[str, Any]:
+        return {"columns": self.columns, "next_id": self.next_id, "schema_id": self.schema_id}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "TableSchema":
+        return TableSchema(d["columns"], d["next_id"], d.get("schema_id", 0))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema: TableSchema
+    # every schema version ever committed, keyed by schema_id — needed to
+    # read data files written under older schemas (rename by column id)
+    schemas: dict[int, TableSchema]
+    files: list[dict[str, Any]]  # {"path","rows","bucket","schema_id","min_key","max_key"}
+    committed_batches: list[str] = field(default_factory=list)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "schema": self.schema.to_json(),
+            "schemas": {str(k): v.to_json() for k, v in self.schemas.items()},
+            "files": self.files,
+            "committed_batches": self.committed_batches,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            schema=TableSchema.from_json(d["schema"]),
+            schemas={int(k): TableSchema.from_json(v) for k, v in d["schemas"].items()},
+            files=d["files"],
+            committed_batches=d.get("committed_batches", []),
+            summary=d.get("summary", {}),
+        )
+
+
+def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeVault:
+    """One copy-on-write table. Key columns define the merge identity."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.vault_dir = os.path.join(root, "_vault")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---- lifecycle -------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        columns: list[tuple[str, str]],
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        n_buckets: int = 16,
+    ) -> "LakeVault":
+        v = LakeVault(spark, root)
+        os.makedirs(os.path.join(v.vault_dir, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(v.vault_dir, "manifests"), exist_ok=True)
+        os.makedirs(v.data_dir, exist_ok=True)
+        schema = TableSchema.from_names(columns)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema=schema,
+            schemas={0: schema},
+            files=[],
+            committed_batches=[],
+            summary={"operation": "create"},
+        )
+        _atomic_write_json(v._snap_path(0), snap.to_json())
+        _atomic_write_json(
+            os.path.join(v.vault_dir, "table.json"),
+            {"key_cols": list(key_cols), "n_buckets": n_buckets},
+        )
+        _atomic_write_json(os.path.join(v.vault_dir, "version.json"), {"snapshot_id": 0})
+        return v
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeVault":
+        v = LakeVault(spark, root)
+        if not os.path.exists(os.path.join(v.vault_dir, "version.json")):
+            raise FileNotFoundError(f"no LakeVault table at {root}")
+        return v
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_vault", "version.json"))
+
+    # ---- metadata --------------------------------------------------------
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.vault_dir, "snapshots", f"snap-{sid}.json")
+
+    @property
+    def table_meta(self) -> dict[str, Any]:
+        with open(os.path.join(self.vault_dir, "table.json")) as f:
+            return json.load(f)
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.table_meta["key_cols"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.table_meta["n_buckets"]
+
+    def current_snapshot_id(self) -> int:
+        with open(os.path.join(self.vault_dir, "version.json")) as f:
+            return json.load(f)["snapshot_id"]
+
+    def snapshot(self, sid: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if sid is None else sid
+        with open(self._snap_path(sid)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshot_ids(self) -> list[int]:
+        d = os.path.join(self.vault_dir, "snapshots")
+        return sorted(int(f[5:-5]) for f in os.listdir(d) if f.startswith("snap-"))
+
+    def committed_batches(self) -> set[str]:
+        return set(self.snapshot().committed_batches)
+
+    def manifest(self, batch_id: str) -> dict[str, Any] | None:
+        p = os.path.join(self.vault_dir, "manifests", f"{batch_id}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ---- scan (time travel + rename-by-id + bucket pruning) --------------
+
+    def bucket_expr(self, df_or_cols: Any = None) -> F.Column:
+        keys = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.key_cols]
+        return F.pmod(F.xxhash64(*keys), F.lit(self.n_buckets))
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan. ``buckets`` prunes at file level via manifest
+        metadata (reference analog: Delta partition filter ``02:69-74`` —
+        but here the pruning happens before Spark ever lists a file).
+        Rename promotion: files written under older schema versions are read
+        with their original column names and re-mapped to current names by
+        column id; columns added later are backfilled as typed nulls."""
+        snap = self.snapshot(snapshot_id)
+        cur = snap.schema
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            ddl = ", ".join(
+                f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
+            )
+            return self.spark.createDataFrame([], schema=ddl)
+
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_schema.items()):
+            old = snap.schemas[sid]
+            old_by_id = {c["id"]: c for c in old.columns}
+            df = self.spark.read.parquet(*paths)
+            sel = []
+            for c in cur.columns:
+                oc = old_by_id.get(c["id"])
+                typ = SPARK_TYPE.get(c["type"], c["type"])
+                if oc is None:
+                    sel.append(F.lit(None).cast(typ).alias(c["name"]))
+                else:
+                    sel.append(F.col(oc["name"]).cast(typ).alias(c["name"]))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- commit ----------------------------------------------------------
+
+    def _register_written_files(
+        self, write_dir: str, schema_id: int
+    ) -> list[dict[str, Any]]:
+        """Walk a Spark-written bucket-partitioned directory and produce file
+        entries with parquet-footer stats (rows + key min/max) — the manifest
+        stats that make bucket pruning and future key-range pruning free."""
+        entries: list[dict[str, Any]] = []
+        key0 = self.key_cols[0]
+        for dirpath, _dirnames, filenames in os.walk(write_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                bucket = None
+                for part in dirpath.split(os.sep):
+                    if part.startswith("__bucket="):
+                        bucket = int(part.split("=", 1)[1])
+                md = pq.ParquetFile(full).metadata
+                rows = md.num_rows
+                kmin = kmax = None
+                try:
+                    names = [md.schema.column(i).name for i in range(md.num_columns)]
+                    if key0 in names:
+                        j = names.index(key0)
+                        mins, maxs = [], []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(j).statistics
+                            if st is not None and st.has_min_max:
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                        if mins:
+                            kmin, kmax = min(mins), max(maxs)
+                            if isinstance(kmin, bytes):
+                                kmin = kmin.decode("utf-8", "replace")
+                                kmax = kmax.decode("utf-8", "replace")
+                except Exception:
+                    pass
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, self.root),
+                        "rows": rows,
+                        "bucket": bucket,
+                        "schema_id": schema_id,
+                        "min_key": kmin,
+                        "max_key": kmax,
+                    }
+                )
+        return entries
+
+    def commit(
+        self,
+        *,
+        add_write_dir: str | None,
+        replace_buckets: list[int] | None,
+        batch_id: str | None,
+        manifest: dict[str, Any] | None = None,
+        new_schema: TableSchema | None = None,
+        summary: dict[str, Any] | None = None,
+        replace_all: bool = False,
+    ) -> int:
+        """Produce snapshot N+1 = (parent files minus replaced buckets) +
+        files under ``add_write_dir``; atomically swap the version pointer.
+
+        Idempotent per ``batch_id``: if the batch is already in the parent's
+        ``committed_batches`` the commit is a no-op (returns current id).
+        """
+        parent = self.snapshot()
+        if batch_id is not None and batch_id in parent.committed_batches:
+            return parent.snapshot_id
+
+        schema = new_schema or parent.schema
+        schemas = dict(parent.schemas)
+        if schema.schema_id not in schemas:
+            schemas[schema.schema_id] = schema
+
+        if replace_all:
+            kept = []
+        elif replace_buckets is not None:
+            rb = set(replace_buckets)
+            kept = [f for f in parent.files if f["bucket"] not in rb]
+        else:
+            kept = list(parent.files)
+
+        new_entries: list[dict[str, Any]] = []
+        if add_write_dir is not None:
+            new_entries = self._register_written_files(add_write_dir, schema.schema_id)
+
+        new_id = parent.snapshot_id + 1
+        snap = Snapshot(
+            snapshot_id=new_id,
+            parent_id=parent.snapshot_id,
+            schema=schema,
+            schemas=schemas,
+            files=kept + new_entries,
+            committed_batches=parent.committed_batches
+            + ([batch_id] if batch_id else []),
+            summary={
+                **(summary or {}),
+                "added_files": len(new_entries),
+                "total_files": len(kept) + len(new_entries),
+                "total_rows": sum(f["rows"] for f in kept + new_entries),
+            },
+        )
+        if batch_id is not None and manifest is not None:
+            _atomic_write_json(
+                os.path.join(self.vault_dir, "manifests", f"{batch_id}.json"),
+                {**manifest, "snapshot_id": new_id},
+            )
+        _atomic_write_json(self._snap_path(new_id), snap.to_json())
+        # the ONLY visibility point: readers before this line see snapshot N,
+        # after it snapshot N+1 — crash anywhere above leaves orphans only.
+        _atomic_write_json(
+            os.path.join(self.vault_dir, "version.json"), {"snapshot_id": new_id}
+        )
+        return new_id
+
+    def new_write_dir(self, tag: str) -> str:
+        """Unique staging dir for a snapshot attempt's data files."""
+        d = os.path.join(
+            self.data_dir, f"w-{self.current_snapshot_id() + 1}-{tag}-{int(time.time_ns())}"
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    # ---- maintenance (OPTIMIZE / VACUUM analogs) --------------------------
+
+    def compact(self, target_file_rows: int = 2_000_000) -> int:
+        """Bin-pack small files per bucket into fewer files → new snapshot.
+        Reference analog: ``OPTIMIZE`` + ``ZORDER`` (``01:255-262``) — we get
+        the clustering benefit by sorting within buckets on the key columns."""
+        snap = self.snapshot()
+        if not snap.files:
+            return snap.snapshot_id
+        df = self.scan()
+        n_out = max(1, min(self.n_buckets, int(sum(f["rows"] for f in snap.files) // target_file_rows + 1)))
+        wd = self.new_write_dir("compact")
+        (
+            df.withColumn("__bucket", self.bucket_expr())
+            .repartition(n_out, "__bucket")
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(wd)
+        )
+        return self.commit(
+            add_write_dir=wd,
+            replace_buckets=None,
+            batch_id=None,
+            replace_all=True,
+            summary={"operation": "compact"},
+        )
+
+    def expire_snapshots(self, keep_last: int = 3) -> list[int]:
+        """Delete snapshot metadata + unreferenced data files older than the
+        last ``keep_last`` snapshots (VACUUM analog — never retain-0: the
+        current snapshot and its files are always kept)."""
+        ids = self.snapshot_ids()
+        keep = set(ids[-keep_last:]) | {self.current_snapshot_id()}
+        live_files: set[str] = set()
+        for sid in keep:
+            live_files.update(f["path"] for f in self.snapshot(sid).files)
+        removed = []
+        for sid in ids:
+            if sid in keep:
+                continue
+            for f in self.snapshot(sid).files:
+                p = os.path.join(self.root, f["path"])
+                if f["path"] not in live_files and os.path.exists(p):
+                    os.remove(p)
+            os.remove(self._snap_path(sid))
+            removed.append(sid)
+        # sweep empty staging dirs
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not any(
+                fn.endswith(".parquet") for _, _, fns in os.walk(full) for fn in fns
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+        return removed

@@ -1,0 +1,63 @@
+"""Structured Streaming front-end for the CDC engine.
+
+Reference analog: Event Hub ``readStream`` → ``writeStream`` with a
+checkpoint dir (``00_ingest_from_log_hub.py:89-117``). Here a parquet file
+stream tails the WAL directory and ``foreachBatch`` hands each micro-batch to
+the same exactly-once MERGE path the batch replay uses — so a crash/restart
+of the streaming query cannot double-apply (idempotent commit manifests make
+Spark's at-least-once ``foreachBatch`` effectively exactly-once).
+
+The batch loop (``CDCEngine.replay``) remains the primary entry point
+(deterministic chunking → deterministic benchmarks); this wrapper exists to
+prove the engine composes with always-on Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+from observability_platform___databricks_etl_pipeline_spark.sources.wal import CHANGELOG_SCHEMA
+
+
+def stream_replay(
+    spark: SparkSession,
+    wal_dir: str,
+    engine: CDCEngine,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Run the WAL through Structured Streaming into the COW table, draining
+    all currently-available data synchronously (processAllAvailable)."""
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA.add("chunk", "long"))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", wal_dir)
+        .parquet(wal_dir)
+    )
+
+    def apply_batch(df: DataFrame, epoch_id: int) -> None:
+        # batch identity from the WAL chunks present in this micro-batch (not
+        # the epoch id, which changes if the checkpoint dir is wiped)
+        chunks = sorted(r["chunk"] for r in df.select("chunk").distinct().collect())
+        bid = hashlib.sha256(
+            f"{os.path.abspath(wal_dir)}|stream|{chunks}".encode()
+        ).hexdigest()[:24]
+        if bid in engine.vault.committed_batches():
+            return
+        staged = os.path.join(checkpoint_dir, f"staged-{bid}")
+        df.drop("chunk").write.mode("overwrite").parquet(f"{staged}/chunk=0")
+        engine._apply_chunk(staged, 0, bid)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "sscp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,161 @@
+"""Single-threaded reference reducer ("oracle") for golden replay tests.
+
+Applies the change log sequentially, chunk by chunk in seq order, with the
+same declared semantics as the engine (FIXTURES.md §5):
+
+- malformed rows (null seq/repo/path/commit) are quarantined,
+- schema-evolution events are chunk-aligned barriers (applied, in seq order,
+  before the chunk's data events — matching the engine's documented v1
+  semantics),
+- op classification fallback, sanitization, sha256 and lang inference are
+  re-implemented here independently (plain ``re`` / ``hashlib`` / dict logic,
+  not the engine's pandas code) so the comparison is meaningful,
+- last-writer-wins per (repo, path) by seq; deletes are tombstones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+
+_PATTERNS = [
+    (r"(?i)bearer\s+[A-Za-z0-9\-_\.=]{8,}", "[REDACTED_TOKEN]"),
+    (r"(?i)(api[_-]?key|secret|password)\s*[=:]\s*\S+", r"\1=[REDACTED_SECRET]"),
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[REDACTED_EMAIL]"),
+    (r"\b(?:\d[ \-]?){13,19}\b", "[REDACTED_CC]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[REDACTED_IP]"),
+]
+
+_EXT_LANG = {
+    "py": "python", "rs": "rust", "c": "c", "h": "c", "cc": "cpp", "cpp": "cpp",
+    "go": "go", "java": "java", "js": "javascript", "ts": "typescript",
+    "rb": "ruby", "sh": "shell", "md": "markdown", "json": "json",
+    "yaml": "yaml", "yml": "yaml", "toml": "toml", "sql": "sql",
+    "scala": "scala", "txt": "text",
+}
+
+_OP_ALIASES = {
+    "insert": "insert", "i": "insert", "c": "insert", "create": "insert", "add": "insert",
+    "update": "update", "u": "update", "modify": "update", "m": "update",
+    "delete": "delete", "d": "delete", "remove": "delete", "rm": "delete",
+    "add_column": "add_column", "rename_column": "rename_column",
+}
+
+
+def sanitize(text: str | None) -> str | None:
+    if text is None:
+        return None
+    for pat, repl in _PATTERNS:
+        text = re.sub(pat, repl, text)
+    return text
+
+
+def infer_lang(path: str, content: str | None) -> str:
+    m = re.search(r"\.([A-Za-z0-9]+)$", path or "")
+    if m and m.group(1).lower() in _EXT_LANG:
+        return _EXT_LANG[m.group(1).lower()]
+    c = content or ""
+    if c.startswith("#!/bin/"):
+        return "shell"
+    if re.search(r"#!.*\bpython", c):
+        return "python"
+    if re.search(r"\bdef \w+\(|\bimport \w+", c):
+        return "python"
+    if re.search(r"\bfn \w+\(.*\)\s*->", c):
+        return "rust"
+    if re.search(r"\bfunc \w+\(", c):
+        return "go"
+    return "unknown"
+
+
+def classify_op(op: str | None, content: str | None) -> str:
+    norm = _OP_ALIASES.get((op or "").strip().lower())
+    if norm:
+        return norm
+    return "delete" if content is None else "update"
+
+
+def _n(x):
+    """pandas null (NaN/None/NaT) → None, else the value."""
+    try:
+        import pandas as pd
+
+        if x is None or (not isinstance(x, (list, dict, tuple)) and pd.isna(x)):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return x
+
+
+def _as_dict(props) -> dict:
+    """Normalize DuckDB MAP repr ({'key': [...], 'value': [...]}) or dict."""
+    if props is None:
+        return {}
+    if isinstance(props, dict):
+        if set(props.keys()) == {"key", "value"} and isinstance(props.get("key"), (list, tuple)):
+            return dict(zip(props["key"], props["value"]))
+        return dict(props)
+    return dict(props)
+
+
+def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
+    """Return final state: {(repo, path): row-dict} (tombstones excluded)."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{wal_dir}/chunk=*/*.parquet', hive_partitioning=true) "
+        "ORDER BY chunk, seq"
+    ).fetchdf()
+    state: dict[tuple[str, str], dict] = {}
+    # schema state: list of (name, type, prop_key); extraction active only
+    # from the chunk where the column was added (chunk-aligned barrier)
+    extra_cols: list[dict] = []
+    for chunk in sorted(df["chunk"].unique()):
+        cdf = df[df["chunk"] == chunk]
+        # schema events first (chunk-aligned), in seq order
+        for _, r in cdf[cdf["op"].isin(["add_column", "rename_column"])].iterrows():
+            props = _as_dict(r["props"])
+            if r["op"] == "add_column":
+                if props["column"] not in [c["name"] for c in extra_cols]:
+                    extra_cols.append(
+                        {"name": props["column"], "type": props.get("type", "string"),
+                         "prop": props["column"]}
+                    )
+            else:
+                for c in extra_cols:
+                    if c["name"] == props["from"]:
+                        c["name"] = props["to"]
+        data = cdf[~cdf["op"].isin(["add_column", "rename_column"]) | cdf["op"].isna()]
+        for _, r in data.iterrows():
+            seq, repo, path = _n(r["seq"]), _n(r["repo"]), _n(r["path"])
+            commit, rop = _n(r["commit"]), _n(r["op"])
+            rcontent, rlang = _n(r["content"]), _n(r["lang"])
+            if seq is None or repo is None or path is None or commit is None:
+                continue  # quarantined
+            op = classify_op(rop, rcontent)
+            content = sanitize(rcontent)
+            sha = hashlib.sha256((content or "").encode()).hexdigest()
+            lang = rlang if rlang is not None else infer_lang(path, content)
+            props = _as_dict(r["props"])
+            key = (repo, path)
+            prev = state.get(key)
+            if prev is not None and prev["last_seq"] >= int(seq):
+                continue  # stale
+            row = {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": None if op == "delete" else lang,
+                "content": None if op == "delete" else content,
+                "content_sha256": sha,
+                "last_seq": int(seq),
+                "is_deleted": op == "delete",
+            }
+            for c in extra_cols:
+                v = props.get(c["prop"])
+                if v is not None and c["type"] == "double":
+                    v = float(v)
+                row[c["name"]] = v
+            state[key] = row
+    return {k: v for k, v in state.items() if not v["is_deleted"]}

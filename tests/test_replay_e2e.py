@@ -1,0 +1,77 @@
+"""Golden end-to-end replay: engine final state == sequential oracle,
+per-row sha256(content) equality (the BASELINE.json invariant), conservation
+invariant per batch, idempotent re-replay."""
+
+import pytest
+
+from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
+from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+from tests.oracle import replay_oracle
+
+N = 6000
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("walmod") / "wal")
+    write_wal(generate_changelog(spark, N, seed=42), d, chunk_size=2000)
+    return d
+
+
+def _final_state(engine):
+    rows = engine.current_state().collect()
+    return {(r["repo"], r["path"]): r.asDict() for r in rows}
+
+
+def test_full_replay_matches_oracle(spark, tmp_path, wal):
+    engine = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=8)
+    res = engine.replay(wal)
+
+    # conservation invariant (generalizes reference 03:281-297) per batch
+    for b in res.batches:
+        assert b.skipped or b.conserved(), f"not conserved: {b}"
+
+    got = _final_state(engine)
+    exp = replay_oracle(wal)
+    assert set(got) == set(exp), (
+        f"key sets differ: extra={list(set(got)-set(exp))[:5]} missing={list(set(exp)-set(got))[:5]}"
+    )
+    mismatch = [
+        (k, got[k]["content_sha256"], exp[k]["content_sha256"])
+        for k in exp
+        if got[k]["content_sha256"] != exp[k]["content_sha256"]
+    ]
+    assert not mismatch, f"{len(mismatch)} sha mismatches, first: {mismatch[:3]}"
+    # full row equality on shared semantics
+    for k in exp:
+        for f in ("commit", "lang", "content", "last_seq"):
+            assert got[k][f] == exp[k][f], (k, f, got[k][f], exp[k][f])
+
+
+def test_replay_is_idempotent(spark, tmp_path, wal):
+    root = str(tmp_path / "tbl2")
+    engine = CDCEngine(spark, root, n_buckets=8)
+    engine.replay(wal)
+    sid = engine.vault.current_snapshot_id()
+    state1 = _final_state(engine)
+
+    res2 = CDCEngine(spark, root, n_buckets=8).replay(wal)  # fresh engine, same table
+    assert all(b.skipped for b in res2.batches)
+    assert engine.vault.current_snapshot_id() == sid  # no new snapshots
+    assert _final_state(CDCEngine(spark, root, n_buckets=8)) == state1
+
+
+def test_quarantine_and_metrics(spark, tmp_path, wal):
+    root = str(tmp_path / "tbl3")
+    engine = CDCEngine(spark, root, n_buckets=8)
+    res = engine.replay(wal)
+    q = spark.read.parquet(engine.quarantine_dir)
+    assert q.count() == sum(b.quarantined for b in res.batches)
+    assert q.count() > 0
+    roll = spark.read.parquet(engine.metrics_dir)
+    assert roll.count() > 0
+    assert {"repo", "events", "p95_content_len", "batch_id"} <= set(roll.columns)
+    # manifests carry offsets + metrics for every non-skipped batch
+    for b in res.batches:
+        man = engine.vault.manifest(b.batch_id)
+        assert man is not None and man["offsets"] and man["metrics"]["rows_read"] == b.rows_read
