@@ -110,15 +110,17 @@ def rolling_hash_udf(s: pd.Series) -> pd.Series:
 # --- language ID ----------------------------------------------------------
 
 # Marker words per language. Deterministic scoring: count marker hits per
-# language, pick argmax with a fixed tie-break order (en < de < es < fr < zh).
+# language, pick argmax with a fixed tie-break order (en > de > es > fr).
+# ASCII-only markers: \b semantics around non-ASCII diverge between regex
+# engines (Java vs RE2), so CJK detection would use a codepoint-range counter
+# instead — out of scope for the marker heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is"),
     "de": ("der", "und", "die", "ist"),
     "es": ("el", "los", "que", "es"),
     "fr": ("le", "les", "et", "est"),
-    "zh": ("的", "是", "了", "在"),
 }
-LANG_ORDER = ("en", "de", "es", "fr", "zh")
+LANG_ORDER = ("en", "de", "es", "fr")
 
 
 def lang_id_scores(col: str = "text") -> dict[str, Column]:

@@ -1,0 +1,690 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark_fn, oracle_sql) pair.
+
+Each entry maps one implemented operator/query to (a) a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and (b) the ANSI-SQL equivalent DuckDB runs
+on the same parquet tables — the driver's correctness gate. Column names and
+types are aligned on BOTH sides (aggregates cast/rounded identically) because
+the comparison hashes values under sorted column names.
+
+Non-SQL-expressible ops (MinHash LSH banding, SimHash, hyperplane ANN, the
+CDC engine itself) register a Spark callable with ``oracle: None`` → the
+driver records a rows-only check; their real verification lives in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from observability_platform___databricks_etl_pipeline_spark.functions.text import (
+    BPEISH_PATTERN,
+    LANG_MARKERS,
+    LANG_ORDER,
+    STOPWORDS,
+    bpeish_token_count,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    ws_token_count,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# CDC family — the engine's primitives expressed over the `events` stream
+# table (shape-adjacent to the WAL; see FIXTURES.md §6)
+# ===========================================================================
+
+@_register(
+    "cdc_lww_latest",
+    """
+    SELECT user_id, event_type,
+           max(event_id) AS last_event_id,
+           arg_max(value, event_id) AS last_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def cdc_lww_latest(spark, sf_dir):
+    """Deterministic last-writer-wins: latest event per (user_id, event_type)
+    keyed by event_id — the A10/D1 upgrade of the reference's dropDuplicates
+    (01_ingest_raw_logs.py:193-197). Single hash agg, map-side combined."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+    )
+
+
+@_register(
+    "cdc_op_counts",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_op_counts(spark, sf_dir):
+    """Conditional counts (A2: sum(when(...)), 03_build_flow_dataset.py:82-83)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("n_high"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "cdc_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           count(DISTINCT user_id) AS users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_hourly_rollup(spark, sf_dir):
+    """Keyed time rollup (A1 core: 03_build_flow_dataset.py:66-114)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@_register(
+    "cdc_prev_event_gap",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(avg(gap_s), 4) AS avg_gap_s
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS DOUBLE) AS gap_s
+      FROM events
+    ) WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def cdc_prev_event_gap(spark, sf_dir):
+    """Previous-row analytic (W1: lag over user ordered by time,
+    02_enrich_events.py:108-115)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "gap_s",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("double"),
+        )
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("gap_s"), 4).alias("avg_gap_s"))
+    )
+
+
+@_register(
+    "cdc_out_of_order",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_out_of_order
+    FROM (
+      SELECT event_id, lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv, value
+      FROM events
+    ) WHERE pv IS NOT NULL AND value < pv
+    """,
+)
+def cdc_out_of_order(spark, sf_dir):
+    """Out-of-order detection via ordered window — the WAL inversion check."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("pv", F.lag("value").over(w))
+        .where(F.col("pv").isNotNull() & (F.col("value") < F.col("pv")))
+        .agg(F.count(F.lit(1)).alias("n_out_of_order"))
+    )
+
+
+@_register(
+    "cdc_validation_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value BETWEEN 0 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props
+    FROM events
+    """,
+)
+def cdc_validation_gate(spark, sf_dir):
+    """Field-level quality gates (P4/P5: range + null validation,
+    02_enrich_events.py:307-317, README.md:550-562)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").between(0, 1000).cast("long")).alias("n_valid"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+    )
+
+
+# ===========================================================================
+# Relational operator coverage (joins / aggs / windows / sorts) on TPC-H-ish
+# ===========================================================================
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Partial+final hash aggregation with 6 aggregates (A1-pattern; TPC-H Q1
+    shape). Filter is pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """3-way equi-join + agg + deterministic top-K (TakeOrderedAndProject).
+    Customer side is broadcast (small dim, J1 pattern)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "join_region_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_region_rollup(spark, sf_dir):
+    """Broadcast chain of small dims (J1: 02_enrich_events.py:274-295)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+@_register(
+    "join_theta_overpriced",
+    """
+    SELECT p_brand, count(*) AS n_overpriced
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_extendedprice > p_retailprice * 1.5
+    GROUP BY p_brand
+    """,
+)
+def join_theta_overpriced(spark, sf_dir):
+    """Equi-join + theta residual (J2: 04_hive_sql_analysis.py:283-300 —
+    Catalyst keeps the equi key for the hash join, applies the non-equi
+    conjunct as a post-join filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(F.col("l_extendedprice") > F.col("p_retailprice") * 1.5)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_overpriced"))
+    )
+
+
+@_register(
+    "join_anti_inactive_parts",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_never_ordered
+    FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def join_anti_inactive_parts(spark, sf_dir):
+    """Left anti join — the commit-manifest idempotency primitive (SURVEY §2.3
+    'new engine needs left anti join')."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_never_ordered"))
+    )
+
+
+@_register(
+    "window_moving_avg",
+    """
+    SELECT o_orderpriority, o_orderdate, n,
+           round(avg(n) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM (
+      SELECT o_orderpriority, o_orderdate, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderdate
+    )
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """Frame-spec moving average over an aggregate (W2:
+    04_hive_sql_analysis.py:309-323)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority", "o_orderdate", "n", F.round(F.avg("n").over(w), 4).alias("ma3")
+    )
+
+
+@_register(
+    "topn_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def topn_per_group(spark, sf_dir):
+    """Top-N per group via ranking window (W3: 04_hive_sql_analysis.py:332-354)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "having_filter",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment HAVING count(*) > 10
+    """,
+)
+def having_filter(spark, sf_dir):
+    """GROUP BY + HAVING (A9: 04_hive_sql_analysis.py:138-151)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .where(F.col("n") > 10)
+    )
+
+
+@_register(
+    "set_except_suppliers",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def set_except_suppliers(spark, sf_dir):
+    """Set difference (§2.6: nations with no suppliers)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return n.subtract(s)  # EXCEPT (distinct) semantics, matching the oracle
+
+
+@_register(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (A3 analog; Spark `percentile` ==
+    DuckDB `quantile_cont`). The engine uses percentile_approx at scale —
+    exact here so the oracle can verify bit-for-bit."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ===========================================================================
+# Training-data pipeline ops over `documents` / `embeddings`
+# ===========================================================================
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "doc_exact_dedup",
+    f"""
+    SELECT min(doc_id) AS doc_id, sha256({_NORM}) AS content_hash, count(*) AS n_copies
+    FROM documents GROUP BY 2
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by sha256 of normalized text (hash groupBy)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "doc_id", "content_hash", "n_copies"
+    )
+
+
+@_register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpeish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def _quality_oracle() -> str:
+    stop_pat = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+    return f"""
+    SELECT doc_id, round(
+        least(len(text) / 200.0, 1.0) * 0.4
+      + (1.0 - least(CASE WHEN len(text) > 0
+                     THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / len(text)
+                     ELSE 0.0 END * 4.0, 1.0)) * 0.3
+      + least(CASE WHEN trim(text) <> ''
+              THEN len(regexp_extract_all(text, '{stop_pat}')) * 1.0
+                   / len(string_split_regex(trim(text), '\\s+'))
+              ELSE 0.0 END * 4.0, 1.0) * 0.3, 6) AS quality
+    FROM documents
+    """
+
+
+@_register("doc_quality", _quality_oracle())
+def doc_quality(spark, sf_dir):
+    """Composite quality score (length/punctuation/stopword heuristic)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        pat = r"(?i)\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        score_cols.append(f"len(regexp_extract_all(text, '{pat}')) AS s_{lang}")
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        rest = [f"s_{lang} >= s_{o}" for o in LANG_ORDER[i + 1 :]]
+        cond = " AND ".join([f"s_{lang} > 0"] + rest)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+    SELECT doc_id, CASE {' '.join(cases)} ELSE 'unknown' END AS detected_lang
+    FROM (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    """
+
+
+@_register("doc_lang_id", _lang_id_oracle())
+def doc_lang_id(spark, sf_dir):
+    """Language ID via marker-stopword argmax with fixed tie-break."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("detected_lang")
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized text."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+@_register(
+    "doc_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(words) - 1, 1)),
+                 i -> array_to_string(words[i:i+2], ' ')
+               )) AS shingle
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= 0.18
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity pairs (shingle-join strategy)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.18
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+@_register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 20
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline; map-only + global
+    top-k heap, no shuffle of the corpus)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb, qv, k=20)
+
+
+@_register(
+    "emb_label_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(embedding[1]), 4) AS dim0_avg,
+           round(avg(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS avg_sqnorm
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_label_stats(spark, sf_dir):
+    """Vector-column aggregation: per-label component stats via native
+    array folds (F.aggregate — no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("embedding", 1)), 4).alias("dim0_avg"),
+        F.round(F.avg(sq), 4).alias("avg_sqnorm"),
+    )
+
+
+# ---- rows-only entries (genuinely non-SQL-expressible; verified in tests/) --
+
+@_register("doc_minhash_lsh", None)
+def doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (banded signature join). Oracle-free:
+    signature hashing isn't replicable in DuckDB; verified by planted-pair
+    tests (tests/test_dedup_ops.py)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=16, k=3
+    )
+
+
+@_register("doc_simhash_neardup", None)
+def doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (16-bit chunk blocking + hamming verify)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8)
+
+
+@_register("emb_lsh_topk", None)
+def emb_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH multiprobe."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_topk(emb, qv, k=20, n_planes=8)
+
+
+@_register("emb_neardup_pairs", None)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (hyperplane-bucketed verify)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4)
+
+
+@_register("cdc_engine_final_state", None)
+def cdc_engine_final_state(spark, sf_dir):
+    """The flagship: full CDC replay of a deterministic WAL through the COW
+    engine; returns the final-state rollup. Oracle-free here because the WAL
+    is engine-generated; full-replay sha256 equality vs a sequential oracle is
+    asserted in tests/test_replay_e2e.py."""
+    import tempfile
+
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    base = tempfile.mkdtemp(prefix="cdc-entry-")
+    wal = f"{base}/wal"
+    write_wal(generate_changelog(spark, 4000, seed=42), wal, chunk_size=2000)
+    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
+    eng.replay(wal)
+    return (
+        eng.current_state()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.countDistinct("repo").alias("repos"),
+            F.sum(F.length("content")).alias("bytes"),
+        )
+        .orderBy(F.col("files").desc(), "lang")
+    )

@@ -1,0 +1,60 @@
+"""ANN similarity search: brute force vs numpy oracle, LSH/IVF recall."""
+
+import numpy as np
+import pytest
+
+from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 16
+N = 400
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(0)
+    m = rng.standard_normal((N, DIM))
+    m[7] = m[3] * 1.001 + 0.0001  # planted near-dup pair (3, 7)
+    rows = [(int(i), [float(x) for x in m[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df.count()
+    return df, m
+
+
+def _numpy_topk(m, q, k):
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(m)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark, vecs):
+    df, m = vecs
+    q = [float(x) for x in m[3]]
+    got = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+    assert got == _numpy_topk(m, np.asarray(q), 10)
+    got_p = [r["vec_id"] for r in brute_force_topk_pandas(df, q, k=10).collect()]
+    assert got_p == got
+
+
+def test_lsh_and_ivf_recall(spark, vecs):
+    df, m = vecs
+    q = [float(x) for x in m[3]]
+    exact = set(_numpy_topk(m, np.asarray(q), 5))
+    lsh = {r["vec_id"] for r in lsh_topk(df, q, k=5, n_planes=6).collect()}
+    ivf = {r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()}
+    # approximate: require the planted near-dup + self in both, recall ≥ 2/5
+    assert 3 in lsh and 7 in lsh
+    assert len(exact & lsh) >= 2
+    assert len(exact & ivf) >= 2
+
+
+def test_embedding_neardup_pairs(spark, vecs):
+    df, _ = vecs
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert (3, 7) in pairs
+    assert len(pairs) < 20  # not exploding into everything

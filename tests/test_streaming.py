@@ -1,0 +1,32 @@
+"""Structured Streaming front-end drains the WAL into the same table state as
+the batch replay (exactly-once via the shared manifest layer)."""
+
+from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
+from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+from observability_platform___databricks_etl_pipeline_spark.streaming.stream import stream_replay
+
+
+def test_stream_replay_matches_batch(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 3000, seed=5), wal, chunk_size=1000)
+
+    batch_eng = CDCEngine(spark, str(tmp_path / "batch_tbl"), n_buckets=8)
+    batch_eng.replay(wal)
+    want = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in batch_eng.current_state().collect()
+    }
+
+    stream_eng = CDCEngine(spark, str(tmp_path / "stream_tbl"), n_buckets=8)
+    stream_replay(spark, wal, stream_eng, str(tmp_path / "cp"), max_files_per_trigger=2)
+    got = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in stream_eng.current_state().collect()
+    }
+    assert got == want and got
+
+    # restart the stream with a WIPED spark checkpoint: manifest layer must
+    # still make it a no-op (batch ids derive from WAL chunks, not epochs)
+    sid = stream_eng.vault.current_snapshot_id()
+    stream_replay(spark, wal, stream_eng, str(tmp_path / "cp2"), max_files_per_trigger=2)
+    assert stream_eng.vault.current_snapshot_id() == sid
