@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "replay_events": N, "replay_events_per_sec": X, "cpus": C}
+
+Headline queries run against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the CDC replay benchmark
+generates a deterministic WAL sized to the scale factor (2M events at sf0.1)
+and replays it through the COW engine — generation is untimed (it's input),
+replay is the metric. ``python BENCH/run_scaling.py`` runs this at two
+parallelism levels and writes BENCH/BASELINE.md with scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from observability_platform___databricks_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "cdc_lww_latest",
+    "cdc_hourly_rollup",
+    "cdc_prev_event_gap",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_theta_overpriced",
+    "topn_per_group",
+    "exact_percentiles",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "doc_quality",
+    "emb_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(
+        app_name="cdc-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # python-worker warmup: the first pandas-UDF action pays ~5-7s of worker
+    # spawn + pandas import across all cores; pay it before the clock starts
+    from observability_platform___databricks_etl_pipeline_spark.functions.sanitize import sanitize_udf
+
+    spark.range(CPUS * 4).selectExpr("cast(id as string) s").repartition(CPUS).select(
+        sanitize_udf("s")
+    ).collect()
+
+    from observability_platform___databricks_etl_pipeline_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- CDC replay throughput (the BASELINE.json metric) -----------------
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    n_events = max(100_000, int(20_000_000 * sf))  # sf0.1 → 2M events
+    chunk = max(100_000, n_events // 4)
+    base = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        wal = f"{base}/wal"
+        write_wal(generate_changelog(spark, n_events, n_repos=200, n_paths=5000), wal, chunk_size=chunk)
+        eng = CDCEngine(spark, f"{base}/tbl", n_buckets=32, with_rollup=False)
+        t0 = time.perf_counter()
+        eng.replay(wal)
+        replay_s = time.perf_counter() - t0
+        timings["cdc_replay"] = round(replay_s, 3)
+        eps = n_events / replay_s
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + CDC replay wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "replay_events": n_events,
+                "replay_events_per_sec": round(eps, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

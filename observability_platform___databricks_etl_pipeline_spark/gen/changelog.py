@@ -197,9 +197,12 @@ def write_wal(df: DataFrame, wal_dir: str, chunk_size: int = 100_000) -> list[in
     — the engine's batch unit (reference analog: Kafka offset ranges,
     ``00_ingest_from_log_hub.py:415-420``). Returns the sorted chunk ids.
     """
+    # several files per chunk (like a real WAL segment dir / Kafka partition
+    # set) so a chunk scan parallelizes instead of being one unsplittable file
+    files_per_chunk = max(8, min(32, chunk_size // 50_000))
     (
         df.withColumn("chunk", (F.col("seq") / F.lit(chunk_size)).cast("long"))
-        .repartition(F.col("chunk"))
+        .repartition(F.col("chunk"), F.pmod(F.col("seq"), F.lit(files_per_chunk)))
         .sortWithinPartitions("seq")
         .write.mode("overwrite")
         .partitionBy("chunk")

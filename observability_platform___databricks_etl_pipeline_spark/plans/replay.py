@@ -33,22 +33,22 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from observability_platform___databricks_etl_pipeline_spark.functions.classify import classify_op_udf
 from observability_platform___databricks_etl_pipeline_spark.functions.hashing import content_sha256
-from observability_platform___databricks_etl_pipeline_spark.functions.langinfer import infer_lang_udf
-from observability_platform___databricks_etl_pipeline_spark.functions.sanitize import sanitize_udf
+from observability_platform___databricks_etl_pipeline_spark.functions.transform import transform_udf
 from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import (
     LakeVault,
     TableSchema,
     _atomic_write_json,
 )
 from observability_platform___databricks_etl_pipeline_spark.sources.wal import (
+    N_WAL_PARTITIONS,
     list_chunks,
     read_chunk,
     wal_partition,
@@ -66,6 +66,13 @@ BASE_COLUMNS: list[tuple[str, str]] = [
     ("is_deleted", "boolean"),
 ]
 SCHEMA_OPS = ("add_column", "rename_column")
+_TIMING = os.environ.get("CDC_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    if _TIMING:
+        print(f"    [cdc-timing] {label}: {time.perf_counter() - t0:.2f}s", flush=True)
+    return time.perf_counter()
 
 
 @dataclass
@@ -75,8 +82,7 @@ class BatchMetrics:
     rows_read: int = 0
     quarantined: int = 0
     schema_ops: int = 0
-    deduped: int = 0  # collapsed at (repo,path,commit) level
-    superseded: int = 0  # collapsed at (repo,path) level within the batch
+    deduped: int = 0  # batch rows collapsed by LWW dedup (all levels)
     inserted: int = 0
     updated: int = 0
     deleted: int = 0
@@ -94,7 +100,7 @@ class BatchMetrics:
         )
         return (
             self.rows_read
-            == self.quarantined + self.schema_ops + self.deduped + self.superseded + applied
+            == self.quarantined + self.schema_ops + self.deduped + applied
         )
 
     def to_json(self) -> dict[str, Any]:
@@ -202,9 +208,12 @@ class CDCEngine:
         return [c for c in schema.columns if c["id"] not in base_ids]
 
     def _apply_chunk(self, wal_dir: str, chunk: int, bid: str) -> BatchMetrics:
+        from pyspark.sql import Observation
+
         spark = self.spark
         m = BatchMetrics(batch_id=bid, chunk=chunk)
-        raw = read_chunk(spark, wal_dir, chunk)
+        _t0 = time.perf_counter()
+        nshuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
         malformed = (
             F.col("seq").isNull()
@@ -213,35 +222,62 @@ class CDCEngine:
             | F.col("commit").isNull()
         )
 
-        # one small job: per-WAL-partition row counts, malformed counts, and
-        # offset high-water marks (FIXTURES.md §3 offsets map)
-        part_stats = (
-            raw.groupBy(wal_partition().alias("wpart"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(malformed.cast("long")).alias("bad"),
-                F.max("seq").alias("hwm"),
-            )
-            .collect()
-        )
-        m.rows_read = sum(r["n"] for r in part_stats)
-        m.quarantined = sum(r["bad"] or 0 for r in part_stats)
-        offsets = {str(r["wpart"]): r["hwm"] for r in part_stats}
+        # Row counts, malformed counts and per-WAL-partition offset
+        # high-water marks ride the first action over the cached batch via
+        # df.observe — no dedicated stats jobs (replaces the reference's
+        # count()-after-every-stage storm, 02_enrich_events.py:76-362).
+        obs_in = Observation()
+        in_aggs = [
+            F.count(F.lit(1)).alias("rows_read"),
+            F.sum(malformed.cast("long")).alias("quarantined"),
+            # affected COW buckets ride the same pass (collect_set is tiny:
+            # ≤ n_buckets longs) — no dedicated distinct job
+            F.collect_set(
+                F.when(
+                    ~malformed & (~F.col("op").isin(*SCHEMA_OPS) | F.col("op").isNull()),
+                    self.vault.bucket_expr(),
+                )
+            ).alias("buckets"),
+        ] + [
+            F.max(F.when(wal_partition() == p, F.col("seq"))).alias(f"hwm_{p}")
+            for p in range(N_WAL_PARTITIONS)
+        ]
+        # No up-front repartition/cache: the merge aggregation below does its
+        # own exchange, so repartitioning here would be a second full shuffle
+        # of the batch, and caching a batch that is read ~2x from fast
+        # columnar parquet wastes memory. Single-file chunks (unsplittable →
+        # single-task scan) are the one case where an explicit spread pays.
+        raw = read_chunk(spark, wal_dir, chunk)
+        chunk_dir = os.path.join(wal_dir, f"chunk={chunk}")
+        n_files = sum(1 for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
+        if n_files < max(4, nshuffle // 4):
+            raw = raw.repartition(nshuffle, "repo", "path")
+        # narrow control-plane view: everything except content (~80% of the
+        # bytes) — job 1 below never decodes the payload column
+        ctrl = raw.drop("content").observe(obs_in, *in_aggs)
 
-        if m.quarantined:
-            # per-batch subdir + overwrite ⇒ idempotent under crash-retry
-            (
-                raw.where(malformed)
-                .write.mode("overwrite")
-                .parquet(os.path.join(self.quarantine_dir, f"batch_id={bid}"))
-            )
-        events = raw.where(~malformed)
-
-        # schema-evolution events: tiny; applied in seq order before the data
-        # pass (chunk-aligned barrier semantics — documented in module docs)
+        # job 1 (tiny result; populates the observation): schema-evolution
+        # events (chunk-aligned barrier, seq order) plus the malformed rows
+        # (~0.5% trickle by contract) — collected together so quarantining
+        # needs no second scan. Column pruning keeps this scan narrow.
+        special = ctrl.where((F.col("op").isin(*SCHEMA_OPS) & ~malformed) | malformed).collect()
         schema_rows = sorted(
-            events.where(F.col("op").isin(*SCHEMA_OPS)).collect(), key=lambda r: r["seq"]
+            (r for r in special if r["op"] in SCHEMA_OPS and r["repo"] is not None),
+            key=lambda r: r["seq"],
         )
+        quarantine_rows = [
+            r
+            for r in special
+            if r["seq"] is None or r["repo"] is None or r["path"] is None or r["commit"] is None
+        ]
+        stats = obs_in.get
+        m.rows_read = int(stats["rows_read"] or 0)
+        m.quarantined = int(stats["quarantined"] or 0)
+        offsets = {
+            str(p): stats[f"hwm_{p}"]
+            for p in range(N_WAL_PARTITIONS)
+            if stats.get(f"hwm_{p}") is not None
+        }
         m.schema_ops = len(schema_rows)
         schema = self.vault.snapshot().schema
         for r in schema_rows:
@@ -255,74 +291,27 @@ class CDCEngine:
             else:
                 schema = schema.rename_column(p["from"], p["to"])
         extra_cols = self._extra_columns(schema)
+        _t0 = _tick("scan+cache+schema", _t0)
 
-        data = events.where(~F.col("op").isin(*SCHEMA_OPS) | F.col("op").isNull())
+        if m.quarantined:
+            # per-batch dir + atomic-rename file => idempotent under
+            # crash-retry. The malformed trickle (sans payload — the WAL
+            # chunk named in the manifest lineage retains it) was collected
+            # by job 1; written via pyarrow on the driver: no Spark job. A
+            # poisoned chunk beyond the cap falls back to a distributed write.
+            qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
+            if len(quarantine_rows) == m.quarantined and m.quarantined <= 200_000:
+                self._write_quarantine_local(qdir, quarantine_rows)
+            else:
+                raw.where(malformed).write.mode("overwrite").parquet(qdir)
 
-        # vectorized transform stage (north rule: pandas/Arrow UDFs only)
-        t = (
-            data.withColumn("__op", classify_op_udf(F.col("op"), F.col("content")))
-            .withColumn(
-                "__content",
-                F.when(F.col("content").isNull(), F.lit(None).cast("string")).otherwise(
-                    sanitize_udf(F.col("content"))
-                ),
-            )
-            .withColumn("content_sha256", content_sha256("__content"))
-            .withColumn(
-                "__lang",
-                F.coalesce(F.col("lang"), infer_lang_udf(F.col("path"), F.col("__content"))),
-            )
+        data = raw.where(~malformed).where(
+            ~F.col("op").isin(*SCHEMA_OPS) | F.col("op").isNull()
         )
-        for c in extra_cols:
-            t = t.withColumn(
-                f"__x_{c['id']}",
-                F.col("props").getItem(c.get("prop", c["name"])).cast(c["type"]),
-            )
 
-        # two-level LWW dedup — hash aggs (map-side combine ⇒ skew-immune)
-        pay_cols = ["seq", "repo", "path", "commit", "__op", "__lang", "__content", "content_sha256"] + [
-            f"__x_{c['id']}" for c in extra_cols
-        ]
-        payload = F.struct(*[F.col(c) for c in pay_cols])
-        lvl1 = (
-            t.groupBy("repo", "path", "commit")
-            .agg(
-                F.max_by(payload, F.struct(F.col("seq"), F.col("content_sha256"))).alias("w"),
-                F.count(F.lit(1)).alias("n1"),
-            )
-            .select(*[F.col(f"w.{c}").alias(c) for c in pay_cols], "n1")
-        )
-        lvl2 = (
-            lvl1.groupBy("repo", "path")
-            .agg(
-                F.max_by(F.struct(*[F.col(c) for c in pay_cols]), F.col("seq")).alias("w"),
-                F.count(F.lit(1)).alias("n2"),
-                F.sum("n1").alias("sum_n1"),
-            )
-            .select(*[F.col(f"w.{c}").alias(c) for c in pay_cols], "n2", "sum_n1")
-        )
-        lvl2 = lvl2.withColumn("__bucket", self.vault.bucket_expr()).cache()
+        affected = sorted(int(b) for b in (stats.get("buckets") or []))
 
-        # one small job over the deduped batch: dedup accounting + affected
-        # buckets + per-repo rollup feed
-        bstats = (
-            lvl2.groupBy("__bucket")
-            .agg(
-                F.count(F.lit(1)).alias("keys"),
-                F.sum("n2").alias("lvl1_rows"),
-                F.sum("sum_n1").alias("data_rows"),
-            )
-            .collect()
-        )
-        affected = [int(r["__bucket"]) for r in bstats]
-        lvl1_rows = sum(r["lvl1_rows"] for r in bstats)
-        data_rows = sum(r["data_rows"] for r in bstats)
-        keys = sum(r["keys"] for r in bstats)
-        m.deduped = data_rows - lvl1_rows
-        m.superseded = lvl1_rows - keys
-
-        if keys == 0:
-            # nothing to merge — still commit (records the batch + offsets)
+        if not affected:
             new_schema = schema if m.schema_ops else None
             self.vault.commit(
                 add_write_dir=None,
@@ -332,16 +321,19 @@ class CDCEngine:
                 new_schema=new_schema,
                 summary={"operation": "merge", "chunk": chunk},
             )
-            lvl2.unpersist()
             return m
 
-        # MERGE: existing rows of affected buckets ∪ batch winners → LWW
-        # scan() reads the PARENT snapshot's files: columns added/renamed this
-        # batch aren't in it yet, so backfill/realign against the new schema.
-        existing = self.vault.scan(buckets=affected)
-        cur_names = [c["name"] for c in schema.columns]
+        # MERGE as ONE aggregation: batch events UNION existing rows of the
+        # affected buckets; winner per (repo,path) is max_by over
+        # (last_seq, src, content) — the composition of dedup-by-commit,
+        # LWW-by-path and table merge in a single partial-aggregated pass
+        # (skew-immune: the hot repo collapses map-side before the exchange).
+        # scan() reads the PARENT snapshot: columns added/renamed this batch
+        # are backfilled against the evolved schema.
         from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import SPARK_TYPE
 
+        existing = self.vault.scan(buckets=affected)
+        cur_names = [c["name"] for c in schema.columns]
         ex = existing.select(
             *[
                 (
@@ -351,65 +343,121 @@ class CDCEngine:
                 )
                 for c in schema.columns
             ]
-        )
-        ex = ex.withColumn("__src", F.lit(0)).withColumn("__bucket", self.vault.bucket_expr())
-        extra_sel = [F.col(f"__x_{c['id']}").alias(c["name"]) for c in extra_cols]
-        wn = lvl2.select(
+        ).withColumn("__src", F.lit(0))
+        b_in = data.select(
             F.col("repo"),
             F.col("path"),
             F.col("commit"),
-            F.col("__lang").alias("lang"),
-            F.when(F.col("__op") == "delete", F.lit(None).cast("string"))
-            .otherwise(F.col("__content"))
-            .alias("content"),
-            F.col("content_sha256"),
+            F.col("lang"),
+            F.col("content"),
             F.col("seq").alias("last_seq"),
-            (F.col("__op") == "delete").alias("is_deleted"),
-            *extra_sel,
+            F.col("op"),
+            F.col("props"),
             F.lit(1).alias("__src"),
-            F.col("__bucket"),
         )
-        both = ex.unionByName(wn)
-        val_cols = [c for c in cur_names if c not in ("repo", "path")]
-        wpay = F.struct(*[F.col(c) for c in val_cols], F.col("__src"), F.col("__bucket"))
+        both = ex.unionByName(b_in, allowMissingColumns=True)
+        val_cols = [c for c in both.columns if c not in ("repo", "path")]
+        wpay = F.struct(*[F.col(c) for c in val_cols])
+        src = F.col("__src")
         merged = (
             both.groupBy("repo", "path")
             .agg(
-                F.max_by(wpay, F.struct(F.col("last_seq"), F.col("__src"))).alias("w"),
-                F.max(F.when(F.col("__src") == 0, F.col("last_seq"))).alias("old_seq"),
-                F.max(F.when(F.col("__src") == 1, F.col("last_seq"))).alias("new_seq"),
-                F.max(F.when(F.col("__src") == 0, F.col("is_deleted"))).alias("old_deleted"),
+                F.max_by(
+                    wpay,
+                    F.struct(F.col("last_seq"), src, F.coalesce(F.col("content"), F.lit(""))),
+                ).alias("w"),
+                F.max(F.when(src == 0, F.col("last_seq"))).alias("old_seq"),
+                F.max(F.when(src == 1, F.col("last_seq"))).alias("new_seq"),
+                F.max(F.when(src == 0, F.col("is_deleted"))).alias("old_deleted"),
+                F.sum(src).alias("n_events"),
             )
             .select(
                 "repo",
                 "path",
                 *[F.col(f"w.{c}").alias(c) for c in val_cols],
-                F.col("w.__src").alias("__src"),
-                F.col("w.__bucket").alias("__bucket"),
                 "old_seq",
                 "new_seq",
                 "old_deleted",
+                "n_events",
+            )
+            .withColumn("__bucket", self.vault.bucket_expr())
+        )
+
+        live_old = F.col("old_seq").isNotNull() & ~F.coalesce(F.col("old_deleted"), F.lit(False))
+
+        # Single-path finish: the fused transform UDF (classify + sanitize +
+        # lang-infer, one Arrow round trip — north rule: vectorized pandas
+        # UDFs, never per-row Python) is evaluated over the merged rows and
+        # applied only where the batch won (src=1); carried table rows pass
+        # through untouched. No persist of the merged set: it has exactly one
+        # consumer (the bucket write below), and caching a whole-table-sized
+        # DataFrame per batch thrashes memory at scale.
+        is_batch = src == 1
+        b = (
+            merged.withColumn(
+                "__t", transform_udf(F.col("op"), F.col("path"), F.col("content"))
+            )
+            .withColumn("__op", F.when(is_batch, F.col("__t.op")))
+            .withColumn(
+                "content", F.when(is_batch, F.col("__t.content")).otherwise(F.col("content"))
+            )
+            .withColumn(
+                "content_sha256",
+                F.when(is_batch, content_sha256(F.col("__t.content"))).otherwise(
+                    F.col("content_sha256")
+                ),
+            )
+            .withColumn(
+                "lang",
+                F.when(is_batch, F.coalesce(F.col("lang"), F.col("__t.lang"))).otherwise(
+                    F.col("lang")
+                ),
+            )
+            .withColumn(
+                "is_deleted",
+                F.when(is_batch, F.col("__t.op") == "delete").otherwise(F.col("is_deleted")),
+            )
+            .withColumn(
+                "__action",
+                F.when(
+                    ~is_batch,
+                    F.when(F.col("new_seq").isNull(), F.lit("carry")).otherwise(F.lit("stale")),
+                )
+                .when(
+                    F.col("__t.op") == "delete",
+                    F.when(live_old, F.lit("delete")).otherwise(F.lit("delete_noop")),
+                )
+                .when(live_old, F.lit("update"))
+                .otherwise(F.lit("insert")),
             )
         )
-        live_old = F.col("old_seq").isNotNull() & ~F.coalesce(F.col("old_deleted"), F.lit(False))
-        action = (
-            F.when(F.col("new_seq").isNull(), "carry")
-            .when(F.col("__src") == 0, "stale")
-            .when(F.col("is_deleted") & live_old, "delete")
-            .when(F.col("is_deleted"), "delete_noop")
-            .when(live_old, "update")
-            .otherwise("insert")
-        )
-        merged = merged.withColumn("__action", action).cache()
+        for c in extra_cols:
+            b = b.withColumn(
+                c["name"],
+                F.when(
+                    is_batch, F.col("props").getItem(c.get("prop", c["name"])).cast(c["type"])
+                ).otherwise(F.col(c["name"]).cast(c["type"])),
+            )
+        out_meta = b
 
-        acts = {r["__action"]: r["n"] for r in merged.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()}
-        m.inserted = acts.get("insert", 0)
-        m.updated = acts.get("update", 0)
-        m.deleted = acts.get("delete", 0)
-        m.delete_noop = acts.get("delete_noop", 0)
-        m.stale_ignored = acts.get("stale", 0)
+        out_cols = [*cur_names, "__bucket", "__action", "n_events"]
+        out_meta = out_meta.select(*out_cols)
 
-        out = merged.select(*cur_names, "__bucket")
+        # job 3: the bucket write — action counts + dedup accounting ride it
+        # via observe (one pass computes metrics AND writes files)
+        obs_out = Observation()
+        act = F.col("__action")
+        out = out_meta.observe(
+            obs_out,
+            F.sum((act == "insert").cast("long")).alias("inserted"),
+            F.sum((act == "update").cast("long")).alias("updated"),
+            F.sum((act == "delete").cast("long")).alias("deleted"),
+            F.sum((act == "delete_noop").cast("long")).alias("delete_noop"),
+            F.sum((act == "stale").cast("long")).alias("stale"),
+            F.sum(F.when(F.col("n_events") > 0, F.col("n_events") - 1).otherwise(0)).alias(
+                "deduped"
+            ),
+        ).select(*cur_names, "__bucket")
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
         (
@@ -419,9 +467,22 @@ class CDCEngine:
             .partitionBy("__bucket")
             .parquet(wd)
         )
+        acts = obs_out.get
+        m.inserted = int(acts["inserted"] or 0)
+        m.updated = int(acts["updated"] or 0)
+        m.deleted = int(acts["deleted"] or 0)
+        m.delete_noop = int(acts["delete_noop"] or 0)
+        m.stale_ignored = int(acts["stale"] or 0)
+        m.deduped = int(acts["deduped"] or 0)
+        _t0 = _tick("merge+transform+write", _t0)
 
         if self.with_rollup:
-            self._write_rollup(lvl2, bid)
+            # NOTE: recomputes the merge (rollup is off on the bench hot path;
+            # a production deployment would fold these aggs into obs_out)
+            self._write_rollup(
+                b.where(F.col("__action").isin("insert", "update", "delete", "delete_noop")),
+                bid,
+            )
 
         new_schema = schema if schema.schema_id != self.vault.snapshot().schema.schema_id else None
         self.vault.commit(
@@ -432,9 +493,32 @@ class CDCEngine:
             new_schema=new_schema,
             summary={"operation": "merge", "chunk": chunk},
         )
-        merged.unpersist()
-        lvl2.unpersist()
+        _t0 = _tick("commit+manifest", _t0)
+
         return m
+
+    @staticmethod
+    def _write_quarantine_local(qdir: str, rows: list) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(qdir, exist_ok=True)
+        cols = {
+            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "commit": pa.array([r["commit"] for r in rows], pa.string()),
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "props": pa.array(
+                [list(r["props"].items()) if r["props"] is not None else None for r in rows],
+                pa.map_(pa.string(), pa.string()),
+            ),
+        }
+        tmp = os.path.join(qdir, "_tmp.parquet")
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, os.path.join(qdir, "part-0.parquet"))
 
     def _manifest(
         self, bid: str, wal_dir: str, chunk: int, offsets: dict[str, int], m: BatchMetrics
@@ -446,24 +530,24 @@ class CDCEngine:
             "lineage": [f"{os.path.abspath(wal_dir)}/chunk={chunk}"],
         }
 
-    def _write_rollup(self, lvl2: DataFrame, bid: str) -> None:
+    def _write_rollup(self, winners, bid: str) -> None:
         """Per-batch per-repo ingest rollup — the Gold-layer analog
         (``03_build_flow_dataset.py:66-114``): counts, op mix, byte volume,
         content-length percentiles, seq range, sample commits."""
         (
-            lvl2.groupBy("repo")  # noqa: SIM117
+            winners.groupBy("repo")
             .agg(
                 F.count(F.lit(1)).alias("events"),
                 F.sum((F.col("__op") == "insert").cast("long")).alias("inserts"),
                 F.sum((F.col("__op") == "update").cast("long")).alias("updates"),
                 F.sum((F.col("__op") == "delete").cast("long")).alias("deletes"),
-                F.sum(F.coalesce(F.length("__content"), F.lit(0))).alias("bytes"),
-                F.expr("percentile_approx(length(__content), 0.5)").alias("p50_content_len"),
-                F.expr("percentile_approx(length(__content), 0.95)").alias("p95_content_len"),
-                F.min("seq").alias("first_seq"),
-                F.max("seq").alias("last_seq"),
+                F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("bytes"),
+                F.expr("percentile_approx(length(content), 0.5)").alias("p50_content_len"),
+                F.expr("percentile_approx(length(content), 0.95)").alias("p95_content_len"),
+                F.min("last_seq").alias("first_seq"),
+                F.max("last_seq").alias("last_seq"),
                 F.slice(F.collect_set("commit"), 1, 5).alias("sample_commits"),
             )
-            .write.mode("overwrite")  # per-batch subdir ⇒ idempotent on retry
+            .write.mode("overwrite")  # per-batch subdir => idempotent on retry
             .parquet(os.path.join(self.metrics_dir, f"batch_id={bid}"))
         )
