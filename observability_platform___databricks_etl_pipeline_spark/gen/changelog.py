@@ -201,7 +201,11 @@ def write_wal(df: DataFrame, wal_dir: str, chunk_size: int = 100_000) -> list[in
     # set) so a chunk scan parallelizes instead of being one unsplittable file
     files_per_chunk = max(8, min(32, chunk_size // 50_000))
     (
-        df.withColumn("chunk", (F.col("seq") / F.lit(chunk_size)).cast("long"))
+        # null-seq (malformed) rows land in chunk 0 so they still reach the
+        # engine's quarantine path instead of a hive-null partition dir
+        df.withColumn(
+            "chunk", F.coalesce((F.col("seq") / F.lit(chunk_size)).cast("long"), F.lit(0))
+        )
         .repartition(F.col("chunk"), F.pmod(F.col("seq"), F.lit(files_per_chunk)))
         .sortWithinPartitions("seq")
         .write.mode("overwrite")
@@ -209,6 +213,8 @@ def write_wal(df: DataFrame, wal_dir: str, chunk_size: int = 100_000) -> list[in
         .parquet(wal_dir)
     )
     chunks = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(wal_dir) if d.startswith("chunk=")
+        int(d.split("=", 1)[1])
+        for d in os.listdir(wal_dir)
+        if d.startswith("chunk=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
     return chunks

@@ -42,7 +42,9 @@ N_WAL_PARTITIONS = 8  # logical WAL partitions for per-partition offsets
 
 def list_chunks(wal_dir: str) -> list[int]:
     return sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(wal_dir) if d.startswith("chunk=")
+        int(d.split("=", 1)[1])
+        for d in os.listdir(wal_dir)
+        if d.startswith("chunk=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
 
 
