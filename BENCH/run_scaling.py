@@ -54,8 +54,10 @@ tmp_root = "/dev/shm" if shutil.disk_usage("/dev/shm").free > 20 << 30 else None
 base = tempfile.mkdtemp(prefix="cdc-scale-", dir=tmp_root)
 try:
     wal = f"{{base}}/wal"
+    # +2 so the two displaced schema-era seqs (n, n+1) fall into chunk 1
+    # instead of spawning a third 2-row batch that is pure overhead
     write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal,
-              chunk_size=n_events // 2)
+              chunk_size=n_events // 2 + 2)
     eng = CDCEngine(spark, f"{{base}}/tbl", n_buckets=32, with_rollup=False)
     t0 = time.perf_counter()
     res = eng.replay(wal)
@@ -81,7 +83,7 @@ def run(cpus: int, events: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=16_000_000)
+    ap.add_argument("--events", type=int, default=24_000_000)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--pairs", default="2:8,8:32")
     args = ap.parse_args()

@@ -6,26 +6,36 @@ one deterministic micro-batch loop with exactly-once semantics the reference
 lacks (its ``batch_id = datetime.now()`` + blind ``mode("append")`` duplicates
 data on rerun — ``01_ingest_raw_logs.py:178,213-218``).
 
-Per-batch plan (each stage annotated with its shuffle cost):
+Per-batch plan — exactly TWO Spark jobs, ONE data shuffle:
 
-1. scan one WAL chunk (partition-pruned parquet read, fixed schema)   [0 shuffles]
-2. quarantine malformed rows (null key fields) → dead-letter parquet  [0]
-   (reference analog: corrupt-record counting, ``01:132-152`` — but kept,
-   not dropped)
-3. apply schema-evolution events (add/rename column, column-id based)  [0]
-4. vectorized transforms: classify op, sanitize content, sha256, infer
-   lang — pandas UDFs + native sha2 (``00_ingest_from_loghub`` per-row
-   driver Python, re-expressed vectorized)                             [0]
-5. two-level LWW dedup: (repo,path,commit) then (repo,path), both as
-   hash aggs with map-side partial aggregation (skew-immune: the hot
-   repo collapses to ~1 row/key per mapper before the exchange)        [1 shuffle]
-6. MERGE: union with the scan of ONLY the affected buckets (manifest
-   file pruning), one more hash agg picks the winner per key           [1 shuffle]
-7. write replaced buckets + atomic snapshot/manifest/checkpoint commit
+job 1 (control plane, narrow scan — no content column decoded):
+  - collect schema-evolution events (chunk-aligned barrier, seq order) and
+    the malformed-row trickle (quarantined via a driver-side pyarrow write,
+    full scan-free; reference analog: corrupt-record counting
+    ``01:132-152`` — but kept, not dropped)
+  - ``df.observe`` rides the same pass: row counts, quarantine counts,
+    per-WAL-partition offset high-water marks, and the affected-COW-bucket
+    set (collect_set) — zero dedicated stats jobs, vs the reference's
+    count()-after-every-stage storm (``02:76-362``)
 
-Metrics come from the same pass (small collected aggs over cached deduped
-data), replacing the reference's count()-after-every-stage pattern
-(``02:76-362`` — 8 extra full jobs per notebook).
+job 2 (data plane):
+  - union: batch events ∪ existing rows of ONLY the affected buckets
+    (manifest file pruning — no filesystem listing)
+  - ONE aggregation: ``max_by(payload, (last_seq, src, content))`` per
+    (repo, path) — the composition of dedup-by-(repo,path,commit), LWW and
+    table merge in a single partial-aggregated pass, skew-immune because the
+    hot repo collapses map-side before the exchange                [1 shuffle]
+  - fused vectorized transform (classify + sanitize + lang-infer: one
+    struct-returning Arrow pandas UDF, one JVM↔Python round trip; sha256 via
+    native ``F.sha2``), applied only where the batch won
+  - merge action counts + dedup accounting ride the bucket write via a
+    second ``df.observe``; write replaced buckets   [1 write repartition]
+
+then the atomic commit: manifest → snapshot → version-pointer ``os.replace``.
+Schema-evolution note: schema ops act as chunk-aligned barriers (applied
+before the chunk's data events); exact intra-chunk ordering would require
+splitting the chunk at schema-event seqs — deliberately out of scope, and
+the test oracle (tests/oracle.py) implements the same declared semantics.
 """
 
 from __future__ import annotations

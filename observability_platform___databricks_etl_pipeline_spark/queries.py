@@ -716,7 +716,8 @@ def asof_purchase_click(spark, sf_dir):
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
     )
     clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", F.col("purchase_ts").alias("x") if False else F.col("ts").alias("purchase_ts"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),  # asof_join keys both sides on one ts name
         F.col("event_id").alias("click_id"),
     )
     out = asof_join(
