@@ -54,10 +54,11 @@ tmp_root = "/dev/shm" if shutil.disk_usage("/dev/shm").free > 20 << 30 else None
 base = tempfile.mkdtemp(prefix="cdc-scale-", dir=tmp_root)
 try:
     wal = f"{{base}}/wal"
-    # +2 so the two displaced schema-era seqs (n, n+1) fall into chunk 1
-    # instead of spawning a third 2-row batch that is pure overhead
+    # 4 chunks: enough batches for the control/data pipeline to overlap;
+    # +2 so the two displaced schema-era seqs (n, n+1) fall into the last
+    # chunk instead of spawning a 2-row batch that is pure overhead
     write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal,
-              chunk_size=n_events // 2 + 2)
+              chunk_size=n_events // 4 + 2)
     eng = CDCEngine(spark, f"{{base}}/tbl", n_buckets=32, with_rollup=False)
     t0 = time.perf_counter()
     res = eng.replay(wal)

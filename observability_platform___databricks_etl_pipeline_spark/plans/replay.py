@@ -47,7 +47,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from observability_platform___databricks_etl_pipeline_spark.functions.hashing import content_sha256
@@ -159,24 +159,48 @@ class CDCEngine:
         """Replay WAL chunks in order; exactly-once per chunk via commit
         manifests. ``fail_after_batches`` simulates a crash for resume tests.
         Safe to call repeatedly — committed chunks are skipped in O(1)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         chunks = chunks if chunks is not None else list_chunks(wal_dir)
         committed = self.vault.committed_batches()
         result = ReplayResult()
-        done = 0
+
+        todo: list[int] = []
         for chunk in chunks:
-            bid = self.batch_id(wal_dir, chunk)
-            if bid in committed:
-                result.batches.append(BatchMetrics(batch_id=bid, chunk=chunk, skipped=True))
-                continue
-            if max_batches is not None and done >= max_batches:
-                break
-            m = self._apply_chunk(wal_dir, chunk, bid)
-            result.batches.append(m)
-            result.events_applied += m.inserted + m.updated + m.deleted
-            done += 1
-            self._write_checkpoint(wal_dir, chunks)
-            if fail_after_batches is not None and done >= fail_after_batches:
-                raise RuntimeError(f"simulated crash after {done} batches")
+            if self.batch_id(wal_dir, chunk) in committed:
+                result.batches.append(
+                    BatchMetrics(batch_id=self.batch_id(wal_dir, chunk), chunk=chunk, skipped=True)
+                )
+            else:
+                todo.append(chunk)
+        if max_batches is not None:
+            todo = todo[:max_batches]
+
+        # Pipelined micro-batches: chunk k+1's control phase (scan, stats,
+        # schema events, quarantine — all table-state-independent) runs on a
+        # background thread while chunk k's merge+commit runs. Commits stay
+        # strictly sequential; a crash cancels nothing that matters (the
+        # prefetched control work is idempotent side-effect-wise).
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = None
+            for i, chunk in enumerate(todo):
+                bid = self.batch_id(wal_dir, chunk)
+                ctrl = fut.result() if fut is not None else self._control_phase(wal_dir, chunk, bid)
+                fut = None
+                if i + 1 < len(todo):
+                    nxt = todo[i + 1]
+                    fut = pool.submit(
+                        self._control_phase, wal_dir, nxt, self.batch_id(wal_dir, nxt)
+                    )
+                m = self._data_phase(wal_dir, chunk, bid, ctrl)
+                result.batches.append(m)
+                result.events_applied += m.inserted + m.updated + m.deleted
+                self._write_checkpoint(wal_dir, chunks)
+                if fail_after_batches is not None and i + 1 >= fail_after_batches:
+                    raise RuntimeError(f"simulated crash after {i + 1} batches")
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         result.snapshot_id = self.vault.current_snapshot_id()
         self._write_checkpoint(wal_dir, chunks)
         return result
@@ -184,6 +208,28 @@ class CDCEngine:
     def current_state(self, snapshot_id: int | None = None) -> DataFrame:
         """Live rows of the final-state table (tombstones filtered)."""
         return self.vault.scan(snapshot_id).where(~F.col("is_deleted"))
+
+    def ingest_metrics(self) -> DataFrame:
+        """Per-batch per-repo rollup table (Gold analog; empty if rollup off)."""
+        if not os.path.isdir(self.metrics_dir):
+            return self.spark.createDataFrame([], "repo string, events long, batch_id string")
+        return self.spark.read.parquet(self.metrics_dir)
+
+    def quarantine(self) -> DataFrame:
+        """Dead-letter rows (malformed events) across all batches."""
+        if not os.path.isdir(self.quarantine_dir):
+            return self.spark.createDataFrame([], "seq long, repo string, batch_id string")
+        return self.spark.read.option("mergeSchema", "true").parquet(self.quarantine_dir)
+
+    def lineage(self) -> list[dict[str, Any]]:
+        """Commit manifests of the current snapshot's batches, in commit
+        order — offsets, metrics and input-chunk lineage per batch."""
+        out = []
+        for b in self.vault.snapshot().committed_batches:
+            man = self.vault.manifest(b)
+            if man is not None:
+                out.append(man)
+        return out
 
     @staticmethod
     def batch_id(wal_dir: str, chunk: int) -> str:
@@ -217,9 +263,13 @@ class CDCEngine:
         base_ids = {i + 1 for i in range(len(BASE_COLUMNS))}
         return [c for c in schema.columns if c["id"] not in base_ids]
 
-    def _apply_chunk(self, wal_dir: str, chunk: int, bid: str) -> BatchMetrics:
-        from pyspark.sql import Observation
-
+    def _control_phase(self, wal_dir: str, chunk: int, bid: str) -> dict:
+        """Table-state-independent half of a batch: chunk scan + observation
+        (row counts, quarantine counts, offsets, affected buckets), schema
+        events, quarantine write. Because it never reads the COW table, the
+        replay loop PREFETCHES it for chunk k+1 while chunk k's merge runs —
+        pipelined micro-batches (one background thread, Spark schedules the
+        jobs concurrently)."""
         spark = self.spark
         m = BatchMetrics(batch_id=bid, chunk=chunk)
         _t0 = time.perf_counter()
@@ -231,7 +281,6 @@ class CDCEngine:
             | F.col("path").isNull()
             | F.col("commit").isNull()
         )
-
         # Row counts, malformed counts and per-WAL-partition offset
         # high-water marks ride the first action over the cached batch via
         # df.observe — no dedicated stats jobs (replaces the reference's
@@ -267,19 +316,13 @@ class CDCEngine:
         ctrl = raw.drop("content").observe(obs_in, *in_aggs)
 
         # job 1 (tiny result; populates the observation): schema-evolution
-        # events (chunk-aligned barrier, seq order) plus the malformed rows
-        # (~0.5% trickle by contract) — collected together so quarantining
-        # needs no second scan. Column pruning keeps this scan narrow.
-        special = ctrl.where((F.col("op").isin(*SCHEMA_OPS) & ~malformed) | malformed).collect()
+        # events only — the malformed trickle stays distributed (collecting
+        # it through py4j is serial, data-proportional work that caps scaling
+        # at low core counts). Column pruning keeps this scan narrow.
         schema_rows = sorted(
-            (r for r in special if r["op"] in SCHEMA_OPS and r["repo"] is not None),
+            ctrl.where(F.col("op").isin(*SCHEMA_OPS) & ~malformed).collect(),
             key=lambda r: r["seq"],
         )
-        quarantine_rows = [
-            r
-            for r in special
-            if r["seq"] is None or r["repo"] is None or r["path"] is None or r["commit"] is None
-        ]
         stats = obs_in.get
         m.rows_read = int(stats["rows_read"] or 0)
         m.quarantined = int(stats["quarantined"] or 0)
@@ -289,6 +332,43 @@ class CDCEngine:
             if stats.get(f"hwm_{p}") is not None
         }
         m.schema_ops = len(schema_rows)
+
+        if m.quarantined:
+            # per-batch subdir + overwrite => idempotent under crash-retry.
+            # Distributed narrow write (no content column decoded — the WAL
+            # chunk named in the manifest lineage retains the full payload):
+            # a parallel job, never a serial driver-side funnel.
+            qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
+            ctrl_cols = [c for c in raw.columns if c != "content"]
+            (
+                raw.select(*ctrl_cols)
+                .where(malformed)
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+        _t0 = _tick("control phase", _t0)
+        return {
+            "m": m,
+            "raw": raw,
+            "malformed": malformed,
+            "schema_rows": schema_rows,
+            "offsets": offsets,
+            "buckets": sorted(int(b) for b in (stats.get("buckets") or [])),
+            "nshuffle": nshuffle,
+        }
+
+    def _data_phase(self, wal_dir: str, chunk: int, bid: str, ctrl: dict) -> BatchMetrics:
+        """Table-state-dependent half: schema evolution + single-aggregation
+        MERGE + bucket write + atomic commit. Strictly sequential across
+        batches (each snapshot builds on its parent)."""
+        spark = self.spark
+        m: BatchMetrics = ctrl["m"]
+        raw = ctrl["raw"]
+        schema_rows = ctrl["schema_rows"]
+        offsets = ctrl["offsets"]
+        malformed = ctrl["malformed"]
+        _t0 = time.perf_counter()
+
         schema = self.vault.snapshot().schema
         for r in schema_rows:
             p = r["props"] or {}
@@ -301,25 +381,12 @@ class CDCEngine:
             else:
                 schema = schema.rename_column(p["from"], p["to"])
         extra_cols = self._extra_columns(schema)
-        _t0 = _tick("scan+cache+schema", _t0)
-
-        if m.quarantined:
-            # per-batch dir + atomic-rename file => idempotent under
-            # crash-retry. The malformed trickle (sans payload — the WAL
-            # chunk named in the manifest lineage retains it) was collected
-            # by job 1; written via pyarrow on the driver: no Spark job. A
-            # poisoned chunk beyond the cap falls back to a distributed write.
-            qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
-            if len(quarantine_rows) == m.quarantined and m.quarantined <= 200_000:
-                self._write_quarantine_local(qdir, quarantine_rows)
-            else:
-                raw.where(malformed).write.mode("overwrite").parquet(qdir)
 
         data = raw.where(~malformed).where(
             ~F.col("op").isin(*SCHEMA_OPS) | F.col("op").isNull()
         )
 
-        affected = sorted(int(b) for b in (stats.get("buckets") or []))
+        affected = ctrl["buckets"]
 
         if not affected:
             new_schema = schema if m.schema_ops else None
@@ -470,9 +537,11 @@ class CDCEngine:
         ).select(*cur_names, "__bucket")
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
+        # no per-batch sortWithinPartitions: key-clustering for scan locality
+        # is compact()'s job (the Z-order analog runs as maintenance, not on
+        # the hot path — sorting the whole table every batch bought nothing)
         (
             out.repartition(n_out, "__bucket")
-            .sortWithinPartitions("repo", "path")
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(wd)
@@ -507,28 +576,9 @@ class CDCEngine:
 
         return m
 
-    @staticmethod
-    def _write_quarantine_local(qdir: str, rows: list) -> None:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(qdir, exist_ok=True)
-        cols = {
-            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
-            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
-            "repo": pa.array([r["repo"] for r in rows], pa.string()),
-            "path": pa.array([r["path"] for r in rows], pa.string()),
-            "commit": pa.array([r["commit"] for r in rows], pa.string()),
-            "op": pa.array([r["op"] for r in rows], pa.string()),
-            "lang": pa.array([r["lang"] for r in rows], pa.string()),
-            "props": pa.array(
-                [list(r["props"].items()) if r["props"] is not None else None for r in rows],
-                pa.map_(pa.string(), pa.string()),
-            ),
-        }
-        tmp = os.path.join(qdir, "_tmp.parquet")
-        pq.write_table(pa.table(cols), tmp)
-        os.replace(tmp, os.path.join(qdir, "part-0.parquet"))
+    def _apply_chunk(self, wal_dir: str, chunk: int, bid: str) -> BatchMetrics:
+        ctrl = self._control_phase(wal_dir, chunk, bid)
+        return self._data_phase(wal_dir, chunk, bid, ctrl)
 
     def _manifest(
         self, bid: str, wal_dir: str, chunk: int, offsets: dict[str, int], m: BatchMetrics

@@ -53,13 +53,15 @@ def read_chunk(spark: SparkSession, wal_dir: str, chunk: int) -> DataFrame:
     return spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{wal_dir}/chunk={chunk}")
 
 
+def chunked_schema() -> StructType:
+    """CHANGELOG_SCHEMA + the hive-partition `chunk` column, as a NEW struct
+    (StructType.add mutates in place — never call it on the shared global)."""
+    return StructType(list(CHANGELOG_SCHEMA.fields) + [StructField("chunk", LongType(), True)])
+
+
 def read_wal(spark: SparkSession, wal_dir: str) -> DataFrame:
     """Scan the whole WAL (used by tests / full-replay oracle, not the loop)."""
-    return (
-        spark.read.option("basePath", wal_dir)
-        .schema(CHANGELOG_SCHEMA.add(StructField("chunk", LongType(), True)))
-        .parquet(wal_dir)
-    )
+    return spark.read.option("basePath", wal_dir).schema(chunked_schema()).parquet(wal_dir)
 
 
 def wal_partition(repo_col: str = "repo") -> F.Column:

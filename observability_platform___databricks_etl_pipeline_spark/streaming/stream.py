@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
-from observability_platform___databricks_etl_pipeline_spark.sources.wal import CHANGELOG_SCHEMA
+
 
 
 def stream_replay(
@@ -34,8 +34,10 @@ def stream_replay(
     """Run the WAL through Structured Streaming into the COW table, draining
     all currently-available data synchronously (processAllAvailable)."""
 
+    from observability_platform___databricks_etl_pipeline_spark.sources.wal import chunked_schema
+
     stream = (
-        spark.readStream.schema(CHANGELOG_SCHEMA.add("chunk", "long"))
+        spark.readStream.schema(chunked_schema())
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("basePath", wal_dir)
         .parquet(wal_dir)

@@ -75,3 +75,19 @@ def test_quarantine_and_metrics(spark, tmp_path, wal):
     for b in res.batches:
         man = engine.vault.manifest(b.batch_id)
         assert man is not None and man["offsets"] and man["metrics"]["rows_read"] == b.rows_read
+
+
+def test_accessors_metrics_quarantine_lineage(spark, tmp_path, wal):
+    root = str(tmp_path / "tbl4")
+    eng = CDCEngine(spark, root, n_buckets=8)
+    res = eng.replay(wal)
+    # lineage: one manifest per applied batch, in commit order, conserving
+    manifests = eng.lineage()
+    assert len(manifests) == sum(1 for b in res.batches if not b.skipped)
+    for man in manifests:
+        assert man["offsets"] and man["lineage"]
+    # quarantine accessor sees the dead-letter rows
+    assert eng.quarantine().count() == sum(b.quarantined for b in res.batches)
+    # rollup accessor: conservation against batch metrics at repo grain
+    roll = eng.ingest_metrics()
+    assert roll.where("repo = 'org/hot-repo'").count() > 0
