@@ -92,6 +92,7 @@ class BatchMetrics:
     rows_read: int = 0
     quarantined: int = 0
     schema_ops: int = 0
+    schema_ops_invalid: int = 0  # counted within schema_ops; applied = schema_ops - invalid
     deduped: int = 0  # batch rows collapsed by LWW dedup (all levels)
     inserted: int = 0
     updated: int = 0
@@ -333,19 +334,6 @@ class CDCEngine:
         }
         m.schema_ops = len(schema_rows)
 
-        if m.quarantined:
-            # per-batch subdir + overwrite => idempotent under crash-retry.
-            # Distributed narrow write (no content column decoded — the WAL
-            # chunk named in the manifest lineage retains the full payload):
-            # a parallel job, never a serial driver-side funnel.
-            qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
-            ctrl_cols = [c for c in raw.columns if c != "content"]
-            (
-                raw.select(*ctrl_cols)
-                .where(malformed)
-                .write.mode("overwrite")
-                .parquet(qdir)
-            )
         _t0 = _tick("control phase", _t0)
         return {
             "m": m,
@@ -369,17 +357,40 @@ class CDCEngine:
         malformed = ctrl["malformed"]
         _t0 = time.perf_counter()
 
+        if m.quarantined:
+            # Quarantine write lives in the DATA phase (not the prefetched
+            # control phase) so a crash in chunk k never leaves dead-letter
+            # rows on disk for a chunk k+1 that was never committed.
+            # Per-batch subdir + overwrite => idempotent under crash-retry.
+            # Distributed narrow write (no content column decoded — the WAL
+            # chunk named in the manifest lineage retains the full payload):
+            # a parallel job, never a serial driver-side funnel.
+            qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
+            ctrl_cols = [c for c in raw.columns if c != "content"]
+            (
+                raw.select(*ctrl_cols)
+                .where(malformed)
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+
         schema = self.vault.snapshot().schema
         for r in schema_rows:
             p = r["props"] or {}
-            if r["op"] == "add_column":
-                before = schema.names()
-                schema = schema.add_column(p["column"], p.get("type", "string"))
-                for c in schema.columns:
-                    if c["name"] == p["column"] and c["name"] not in before:
-                        c["prop"] = p["column"]  # stable props-key across renames
-            else:
-                schema = schema.rename_column(p["from"], p["to"])
+            # malformed schema events (missing props keys, rename of an
+            # unknown column) are counted and skipped — never a driver abort
+            # mid-replay (they stay in the WAL chunk named in the lineage)
+            try:
+                if r["op"] == "add_column":
+                    before = schema.names()
+                    schema = schema.add_column(p["column"], p.get("type", "string"))
+                    for c in schema.columns:
+                        if c["name"] == p["column"] and c["name"] not in before:
+                            c["prop"] = p["column"]  # stable props-key across renames
+                else:
+                    schema = schema.rename_column(p["from"], p["to"])
+            except KeyError:
+                m.schema_ops_invalid += 1
         extra_cols = self._extra_columns(schema)
 
         data = raw.where(~malformed).where(
@@ -405,22 +416,25 @@ class CDCEngine:
         # (last_seq, src, content) — the composition of dedup-by-commit,
         # LWW-by-path and table merge in a single partial-aggregated pass
         # (skew-immune: the hot repo collapses map-side before the exchange).
-        # scan() reads the PARENT snapshot: columns added/renamed this batch
-        # are backfilled against the evolved schema.
+        # scan() reads the PARENT snapshot (columns named per the PARENT
+        # schema), so the re-projection onto the evolved schema maps by
+        # COLUMN ID, not name — a column renamed this batch keeps its values
+        # on carried rows (Iceberg-style rename promotion); only genuinely
+        # new ids backfill as typed nulls.
         from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import SPARK_TYPE
 
         existing = self.vault.scan(buckets=affected)
+        parent_by_id = {c["id"]: c["name"] for c in self.vault.snapshot().schema.columns}
         cur_names = [c["name"] for c in schema.columns]
-        ex = existing.select(
-            *[
-                (
-                    F.col(c["name"])
-                    if c["name"] in existing.columns
-                    else F.lit(None).cast(SPARK_TYPE.get(c["type"], c["type"])).alias(c["name"])
-                )
-                for c in schema.columns
-            ]
-        ).withColumn("__src", F.lit(0))
+        sel = []
+        for c in schema.columns:
+            typ = SPARK_TYPE.get(c["type"], c["type"])
+            pname = parent_by_id.get(c["id"])
+            if pname is not None and pname in existing.columns:
+                sel.append(F.col(pname).cast(typ).alias(c["name"]))
+            else:
+                sel.append(F.lit(None).cast(typ).alias(c["name"]))
+        ex = existing.select(*sel).withColumn("__src", F.lit(0))
         b_in = data.select(
             F.col("repo"),
             F.col("path"),

@@ -44,11 +44,18 @@ def stream_replay(
     )
 
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
-        # batch identity from the WAL chunks present in this micro-batch (not
-        # the epoch id, which changes if the checkpoint dir is wiped)
-        chunks = sorted(r["chunk"] for r in df.select("chunk").distinct().collect())
+        # batch identity from the EXACT file set of this micro-batch. A chunk
+        # whose files span multiple micro-batches (files_per_chunk >
+        # maxFilesPerTrigger — the normal WAL layout) must yield a distinct
+        # bid per batch, or later batches hash to an already-committed id and
+        # silently drop events. Not the epoch id either: that changes when the
+        # checkpoint dir is wiped (a wipe downgrades to at-least-once, which
+        # LWW-by-seq absorbs — same final state, metrics may double-count).
+        files = sorted(
+            r[0] for r in df.select(F.input_file_name()).distinct().collect()
+        )
         bid = hashlib.sha256(
-            f"{os.path.abspath(wal_dir)}|stream|{chunks}".encode()
+            ("|".join([os.path.abspath(wal_dir), "stream", *files])).encode()
         ).hexdigest()[:24]
         if bid in engine.vault.committed_batches():
             return

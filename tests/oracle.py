@@ -117,15 +117,24 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
         for _, r in cdf[cdf["op"].isin(["add_column", "rename_column"])].iterrows():
             props = _as_dict(r["props"])
             if r["op"] == "add_column":
+                if "column" not in props:
+                    continue  # malformed schema event: skipped (engine counts it)
                 if props["column"] not in [c["name"] for c in extra_cols]:
                     extra_cols.append(
                         {"name": props["column"], "type": props.get("type", "string"),
                          "prop": props["column"]}
                     )
             else:
+                if "from" not in props or "to" not in props:
+                    continue  # malformed schema event: skipped
                 for c in extra_cols:
                     if c["name"] == props["from"]:
                         c["name"] = props["to"]
+                        # rename is metadata-only: carried state rows keep
+                        # their values under the NEW name (column-id identity)
+                        for row in state.values():
+                            if props["from"] in row:
+                                row[props["to"]] = row.pop(props["from"])
         data = cdf[~cdf["op"].isin(["add_column", "rename_column"]) | cdf["op"].isna()]
         for _, r in data.iterrows():
             seq, repo, path = _n(r["seq"]), _n(r["repo"]), _n(r["path"])

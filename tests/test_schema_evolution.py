@@ -46,6 +46,69 @@ def test_add_and_rename_column_replay(spark, tmp_path):
     assert "quality_score" in names_by_version[-1]
 
 
+def _mini_wal_df(spark, rows):
+    import datetime
+
+    ddl = (
+        "seq long, ts timestamp, repo string, path string, commit string, "
+        "op string, lang string, content string, props map<string,string>"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame([(r[0], ts, *r[1:]) for r in rows], ddl)
+
+
+def test_rename_preserves_carried_rows_in_rewritten_buckets(spark, tmp_path):
+    """Round-1 regression (ADVICE high): rows carried through a bucket rewrite
+    in the SAME batch as a rename_column must keep their values — the evolved
+    projection maps by column id, not name. n_buckets=1 forces every earlier
+    row to be carried through the post-rename rewrite."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None,
+         {"column": "quality", "type": "double"}),
+        (1, "r1", "a.py", "c1", "insert", "python", "x = 1", {"quality": "2.5"}),
+        (2, "r1", "b.py", "c2", "insert", "python", "x = 2", {"quality": "1.5"}),
+        (10, "__schema__", "__schema__", "c3", "rename_column", None, None,
+         {"from": "quality", "to": "quality_score"}),
+        (11, "r1", "c.py", "c4", "insert", "python", "x = 3", {"quality": "3.5"}),
+    ]
+    wal = str(tmp_path / "wal_rn")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=10)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_rn"), n_buckets=1)
+    eng.replay(wal)
+    got = {
+        r["path"]: r["quality_score"] for r in eng.current_state().collect()
+    }
+    # a.py / b.py were CARRIED through the chunk-1 rewrite (rename batch);
+    # pre-fix they lost their values to lit(None)
+    assert got == {"a.py": 2.5, "b.py": 1.5, "c.py": 3.5}
+
+    oracle = replay_oracle(wal)
+    assert {k[1]: v.get("quality_score") for k, v in oracle.items()} == got
+
+
+def test_malformed_schema_events_do_not_abort(spark, tmp_path):
+    """Schema-op events with missing props keys are counted and skipped,
+    never a driver KeyError mid-replay (ADVICE low)."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None, {}),  # no 'column'
+        (1, "__schema__", "__schema__", "c1", "rename_column", None, None,
+         {"to": "x"}),  # no 'from'
+        (2, "__schema__", "__schema__", "c2", "rename_column", None, None,
+         {"from": "nope", "to": "y"}),  # unknown column
+        (3, "r1", "a.py", "c3", "insert", "python", "x = 1", {}),
+    ]
+    wal = str(tmp_path / "wal_bad")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=100)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_bad"), n_buckets=2)
+    res = eng.replay(wal)
+    m = res.batches[0]
+    assert m.schema_ops == 3 and m.schema_ops_invalid == 3
+    assert m.conserved()
+    assert [r["path"] for r in eng.current_state().collect()] == ["a.py"]
+    # no extra column was created
+    assert "x" not in eng.current_state().columns and "y" not in eng.current_state().columns
+
+
 def test_schema_evolution_survives_resume(spark, tmp_path):
     wal = str(tmp_path / "wal2")
     write_wal(generate_changelog(spark, 4000, seed=22), wal, chunk_size=800)

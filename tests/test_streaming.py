@@ -30,3 +30,38 @@ def test_stream_replay_matches_batch(spark, tmp_path):
     sid = stream_eng.vault.current_snapshot_id()
     stream_replay(spark, wal, stream_eng, str(tmp_path / "cp2"), max_files_per_trigger=2)
     assert stream_eng.vault.current_snapshot_id() == sid
+
+
+def test_stream_chunk_spanning_micro_batches(spark, tmp_path):
+    """Round-1 regression: a chunk whose files span multiple micro-batches
+    (files_per_chunk > maxFilesPerTrigger — the normal WAL layout) must not
+    drop events. Batch identity is the exact FILE SET, not the chunk set."""
+    import pyspark.sql.functions as F
+
+    wal = str(tmp_path / "wal")
+    df = generate_changelog(spark, 2000, seed=9, with_schema_evolution=False)
+    # force exactly 4 files in chunk 0 (append one coalesced slice at a time —
+    # AQE can't coalesce these into one file like it did to the round-1 WAL)
+    for i in range(4):
+        (
+            df.where(F.pmod(F.col("seq"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{wal}/chunk=0")
+        )
+
+    batch_eng = CDCEngine(spark, str(tmp_path / "batch_tbl"), n_buckets=8)
+    batch_eng.replay(wal)
+    want = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in batch_eng.current_state().collect()
+    }
+
+    stream_eng = CDCEngine(spark, str(tmp_path / "stream_tbl"), n_buckets=8)
+    # 4 files / 2 per trigger => chunk 0 spans 2 micro-batches
+    stream_replay(spark, wal, stream_eng, str(tmp_path / "cp"), max_files_per_trigger=2)
+    got = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in stream_eng.current_state().collect()
+    }
+    assert got == want and got
