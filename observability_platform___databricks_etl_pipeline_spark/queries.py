@@ -622,26 +622,123 @@ def emb_label_stats(spark, sf_dir):
     )
 
 
-# ---- rows-only entries (genuinely non-SQL-expressible; verified in tests/) --
+# ---- sketch family: oracle-gated via the shared md5-derived hash family ----
+# (round-1 these were rows-only; md5long — see operators/dedup.py — lets
+# DuckDB reproduce MinHash signatures and SimHash tables bit-for-bit)
 
-@_register("doc_minhash_lsh", None)
+_MH_N, _MH_BANDS, _MH_K = 32, 16, 3
+
+
+def _minhash_oracle() -> str:
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import md5long_constant
+
+    consts = ", ".join(str(md5long_constant(i)) for i in range(_MH_N))
+    rpb = _MH_N // _MH_BANDS
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(w) < {_MH_K} THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - {_MH_K - 2}),
+                                   i -> array_to_string(w[i:i+{_MH_K - 1}], ' ')) END
+        ) AS shingle FROM words
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, t.i AS i,
+             min(xor(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT),
+                     list_value({consts})[CAST(t.i + 1 AS INTEGER)])) AS mh
+      FROM sh CROSS JOIN range({_MH_N}) t(i)
+      GROUP BY doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // {rpb} AS INTEGER) AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM hashed GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+           round(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / {_MH_N}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.id_a
+    JOIN hashed hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+    GROUP BY 1, 2
+    """
+
+
+@_register("doc_minhash_lsh", _minhash_oracle())
 def doc_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (banded signature join). Oracle-free:
-    signature hashing isn't replicable in DuckDB; verified by planted-pair
-    tests (tests/test_dedup_ops.py)."""
+    """MinHash+LSH near-dup candidates (banded signature self-join,
+    explode→partial-agg signatures, ReuseExchange instead of persist)."""
     from observability_platform___databricks_etl_pipeline_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=16, k=3
+    out = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=_MH_N, bands=_MH_BANDS, k=_MH_K,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
     )
 
 
-@_register("doc_simhash_neardup", None)
+_SIMHASH_MAXH = 3  # blocking uses max_hamming+1 chunks → guaranteed recall
+
+
+def _simhash_oracle() -> str:
+    # naive all-pairs oracle (fine at gate scale); equality with the blocked
+    # Spark query holds BECAUSE the chunk blocking has guaranteed recall at
+    # the requested distance (operators/dedup.py::simhash_candidates)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hw FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN sum(CASE WHEN ((hw >> CAST(t.i AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) ELSE 0 END AS bit
+      FROM h CROSS JOIN range(60) t(i)
+      GROUP BY doc_id, t.i
+    ),
+    sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAXH}
+    """
+
+
+@_register("doc_simhash_neardup", _simhash_oracle())
 def doc_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs (16-bit chunk blocking + hamming verify)."""
+    """SimHash near-dup pairs. Blocking on max_hamming+1 disjoint bit chunks
+    (guaranteed recall at the advertised distance — round-1 recall bug fixed);
+    hamming=3 keeps chunk values 15-bit wide so candidate volume stays
+    sub-quadratic at scale."""
     from observability_platform___databricks_etl_pipeline_spark.operators.dedup import simhash_candidates
 
-    return simhash_candidates(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8)
+    out = simhash_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=_SIMHASH_MAXH
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
 
 
 @_register("emb_lsh_topk", None)

@@ -63,6 +63,61 @@ def test_simhash_candidates(spark):
     assert (1, 3) not in got and (1, 5) not in got
 
 
+def test_simhash_recall_matches_brute_force(spark):
+    """Round-1 regression: blocking must have GUARANTEED recall at the
+    requested distance. Brute-force all-pairs hamming over the simhash table
+    is ground truth; the blocked operator must return exactly the pairs at
+    hamming <= max_hamming — including distances 4-6, which the old fixed
+    4x16-bit chunking silently missed."""
+    import itertools
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import simhash_table
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today".split()
+    docs = []
+    for i in range(30):
+        w = list(base)
+        # deterministic word swaps → a spread of hamming distances
+        for j in range(i % 7):
+            w[(i + j * 3) % len(w)] = f"tok{i}_{j}"
+        docs.append((i, " ".join(w)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = {r["id"]: r["sh"] for r in simhash_table(df, "text", "doc_id").collect()}
+    for max_h in (3, 6):
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if bin(sh[a] ^ sh[b]).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_candidates(df, "text", "doc_id", max_hamming=max_h).collect()
+        }
+        assert got == want, f"max_hamming={max_h}: missed {want - got}, extra {got - want}"
+    # the corpus must actually exercise the 4..6 band (else this test is vacuous)
+    dists = sorted(bin(sh[a] ^ sh[b]).count("1") for a, b in itertools.combinations(sorted(sh), 2))
+    assert any(4 <= d <= 6 for d in dists), dists[:20]
+
+
+def test_df_cap_drops_stop_shingles(spark):
+    """A stop-shingle in 50%+ of docs is the O(d^2) scale-killer; df_cap must
+    remove it from the join. Docs share ONLY the hot phrase, so with the cap
+    no candidate pairs survive."""
+    hot = "all your base are belong to us"
+    docs = [(i, f"{hot} unique{i} words{i} here{i} now{i}") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01)
+    assert uncapped.count() == 66  # all 12*11/2 pairs intersect via the hot phrase
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, df_cap=6)
+    assert capped.count() == 0
+
+    # minhash signatures also honor the cap (hot shingles excluded)
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    assert minhash_lsh_candidates(df, num_hashes=16, bands=8, k=3, df_cap=6).count() == 0
+
+
 def test_ngram_jaccard_pairs(spark):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
