@@ -106,6 +106,10 @@ class Snapshot:
     files: list[dict[str, Any]]  # {"path","rows","bucket","schema_id","min_key","max_key"}
     committed_batches: list[str] = field(default_factory=list)
     summary: dict[str, Any] = field(default_factory=dict)
+    # bucket count is SNAPSHOT state (not table.json) so a re-bucketing
+    # compact() is atomic with its commit: a crash in between can never leave
+    # merges computing affected-bucket sets under the wrong bucket function
+    n_buckets: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -116,6 +120,7 @@ class Snapshot:
             "files": self.files,
             "committed_batches": self.committed_batches,
             "summary": self.summary,
+            "n_buckets": self.n_buckets,
         }
 
     @staticmethod
@@ -128,6 +133,7 @@ class Snapshot:
             files=d["files"],
             committed_batches=d.get("committed_batches", []),
             summary=d.get("summary", {}),
+            n_buckets=d.get("n_buckets"),
         )
 
 
@@ -172,6 +178,7 @@ class LakeVault:
             files=[],
             committed_batches=[],
             summary={"operation": "create"},
+            n_buckets=n_buckets,
         )
         _atomic_write_json(v._snap_path(0), snap.to_json())
         _atomic_write_json(
@@ -208,7 +215,8 @@ class LakeVault:
 
     @property
     def n_buckets(self) -> int:
-        return self.table_meta["n_buckets"]
+        nb = self.snapshot().n_buckets
+        return nb if nb is not None else self.table_meta["n_buckets"]
 
     def current_snapshot_id(self) -> int:
         with open(os.path.join(self.vault_dir, "version.json")) as f:
@@ -243,10 +251,18 @@ class LakeVault:
         self,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan. ``buckets`` prunes at file level via manifest
         metadata (reference analog: Delta partition filter ``02:69-74`` —
         but here the pruning happens before Spark ever lists a file).
+        ``key_range=(lo, hi)`` additionally skips files whose parquet-footer
+        [min_key, max_key] span (first key column) doesn't intersect the
+        range — the reference's timed pruning demo
+        (``04_hive_sql_analysis.py:236-273``) generalized to key stats.
+        Pruning is a SUPERSET guarantee: kept files may contain out-of-range
+        rows, so callers still apply the row predicate (files without stats
+        are conservatively kept). Point lookup: ``key_range=(k, k)``.
         Rename promotion: files written under older schema versions are read
         with their original column names and re-mapped to current names by
         column id; columns added later are backfilled as typed nulls."""
@@ -256,6 +272,15 @@ class LakeVault:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if key_range is not None:
+            lo, hi = key_range
+            files = [
+                f
+                for f in files
+                if f.get("min_key") is None
+                or f.get("max_key") is None
+                or ((lo is None or f["max_key"] >= lo) and (hi is None or f["min_key"] <= hi))
+            ]
         if not files:
             ddl = ", ".join(
                 f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
@@ -329,6 +354,7 @@ class LakeVault:
                     {
                         "path": os.path.relpath(full, self.root),
                         "rows": rows,
+                        "bytes": os.path.getsize(full),
                         "bucket": bucket,
                         "schema_id": schema_id,
                         "min_key": kmin,
@@ -347,6 +373,7 @@ class LakeVault:
         new_schema: TableSchema | None = None,
         summary: dict[str, Any] | None = None,
         replace_all: bool = False,
+        new_n_buckets: int | None = None,
     ) -> int:
         """Produce snapshot N+1 = (parent files minus replaced buckets) +
         files under ``add_write_dir``; atomically swap the version pointer.
@@ -376,17 +403,20 @@ class LakeVault:
             new_entries = self._register_written_files(add_write_dir, schema.schema_id)
 
         new_id = parent.snapshot_id + 1
+        parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]
         snap = Snapshot(
             snapshot_id=new_id,
             parent_id=parent.snapshot_id,
             schema=schema,
             schemas=schemas,
             files=kept + new_entries,
+            n_buckets=new_n_buckets if new_n_buckets is not None else parent_nb,
             committed_batches=parent.committed_batches
             + ([batch_id] if batch_id else []),
             summary={
                 **(summary or {}),
                 "added_files": len(new_entries),
+                "added_bytes": sum(f.get("bytes", 0) for f in new_entries),
                 "total_files": len(kept) + len(new_entries),
                 "total_rows": sum(f["rows"] for f in kept + new_entries),
             },
@@ -414,19 +444,34 @@ class LakeVault:
 
     # ---- maintenance (OPTIMIZE / VACUUM analogs) --------------------------
 
-    def compact(self, target_file_rows: int = 2_000_000) -> int:
-        """Bin-pack small files per bucket into fewer files → new snapshot.
-        Reference analog: ``OPTIMIZE`` + ``ZORDER`` (``01:255-262``) — we get
-        the clustering benefit by sorting within buckets on the key columns."""
+    def compact(self, target_file_rows: int = 2_000_000, n_buckets: int | None = None) -> int:
+        """Bin-pack + KEY-CLUSTER the table into a new snapshot.
+
+        Rows are range-partitioned on the key columns (so each task holds a
+        contiguous key span) and still written ``partitionBy(__bucket)`` —
+        every bucket therefore gets several files with TIGHT, mostly-disjoint
+        [min_key, max_key] spans, which is what makes ``scan(key_range=...)``
+        prune effectively. Reference analog: ``OPTIMIZE`` + ``ZORDER``
+        (``01:255-262``) as a maintenance job, not on the hot path.
+
+        ``n_buckets`` re-buckets the table (COW write-amplification lever: a
+        table that grew 100× wants proportionally more buckets so a batch
+        rewrites a smaller fraction). The new count is recorded IN the
+        committed snapshot — atomic with the data; bucket-scoped reads of
+        PRE-rebucket snapshots are no longer meaningful (full scans of them
+        still are)."""
         snap = self.snapshot()
         if not snap.files:
             return snap.snapshot_id
+        nb = n_buckets if n_buckets is not None else self.n_buckets
+        keys = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.key_cols]
+        bucket = F.pmod(F.xxhash64(*keys), F.lit(nb))
         df = self.scan()
-        n_out = max(1, min(self.n_buckets, int(sum(f["rows"] for f in snap.files) // target_file_rows + 1)))
+        n_out = max(1, int(sum(f["rows"] for f in snap.files) // target_file_rows + 1))
         wd = self.new_write_dir("compact")
         (
-            df.withColumn("__bucket", self.bucket_expr())
-            .repartition(n_out, "__bucket")
+            df.withColumn("__bucket", bucket)
+            .repartitionByRange(n_out, *self.key_cols)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -438,6 +483,7 @@ class LakeVault:
             batch_id=None,
             replace_all=True,
             summary={"operation": "compact"},
+            new_n_buckets=nb,
         )
 
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:

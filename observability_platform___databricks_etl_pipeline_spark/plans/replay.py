@@ -100,6 +100,11 @@ class BatchMetrics:
     delete_noop: int = 0
     stale_ignored: int = 0
     skipped: bool = False
+    # COW write-amplification accounting: parquet bytes physically written vs
+    # uncompressed content bytes the batch logically changed (amplification =
+    # written / logical; >> 1 means rewrites dominated by carried rows)
+    bytes_written: int = 0
+    logical_bytes: int = 0
 
     def conserved(self) -> bool:
         applied = (
@@ -209,6 +214,17 @@ class CDCEngine:
     def current_state(self, snapshot_id: int | None = None) -> DataFrame:
         """Live rows of the final-state table (tombstones filtered)."""
         return self.vault.scan(snapshot_id).where(~F.col("is_deleted"))
+
+    def lookup(self, repo: str) -> DataFrame:
+        """Point lookup of one repo's live files: manifest key-range pruning
+        (min/max repo per file) skips every data file whose span can't
+        contain it — after a compact() the scan touches a handful of files
+        instead of the table (reference's timed pruning demo,
+        ``04_hive_sql_analysis.py:236-273``, upgraded to key stats)."""
+        return (
+            self.vault.scan(key_range=(repo, repo))
+            .where((F.col("repo") == repo) & ~F.col("is_deleted"))
+        )
 
     def ingest_metrics(self) -> DataFrame:
         """Per-batch per-repo rollup table (Gold analog; empty if rollup off)."""
@@ -480,9 +496,9 @@ class CDCEngine:
         # lang-infer, one Arrow round trip — north rule: vectorized pandas
         # UDFs, never per-row Python) is evaluated over the merged rows and
         # applied only where the batch won (src=1); carried table rows pass
-        # through untouched. No persist of the merged set: it has exactly one
-        # consumer (the bucket write below), and caching a whole-table-sized
-        # DataFrame per batch thrashes memory at scale.
+        # through untouched. The merged set is persisted (below, slim
+        # projection, MEMORY_AND_DISK) only when the rollup needs a second
+        # pass over it; with rollup off the single consumer streams through.
         is_batch = src == 1
         b = (
             merged.withColumn(
@@ -533,6 +549,14 @@ class CDCEngine:
 
         out_cols = [*cur_names, "__bucket", "__action", "n_events"]
         out_meta = out_meta.select(*out_cols)
+        if self.with_rollup:
+            # two consumers (bucket write + rollup): persist the SLIM merged
+            # frame once — spill-safe — instead of re-executing the whole
+            # union + max_by + transform UDF for the rollup (round-1 issue:
+            # with_rollup=True silently 2×'d the data phase)
+            from pyspark.storagelevel import StorageLevel
+
+            out_meta = out_meta.persist(StorageLevel.MEMORY_AND_DISK)
 
         # job 3: the bucket write — action counts + dedup accounting ride it
         # via observe (one pass computes metrics AND writes files)
@@ -548,6 +572,12 @@ class CDCEngine:
             F.sum(F.when(F.col("n_events") > 0, F.col("n_events") - 1).otherwise(0)).alias(
                 "deduped"
             ),
+            F.sum(
+                F.when(
+                    act.isin("insert", "update"),
+                    F.coalesce(F.length("content"), F.lit(0)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("logical_bytes"),
         ).select(*cur_names, "__bucket")
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
@@ -567,15 +597,28 @@ class CDCEngine:
         m.delete_noop = int(acts["delete_noop"] or 0)
         m.stale_ignored = int(acts["stale"] or 0)
         m.deduped = int(acts["deduped"] or 0)
+        m.logical_bytes = int(acts["logical_bytes"] or 0)
+        m.bytes_written = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _dn, fns in os.walk(wd)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
         _t0 = _tick("merge+transform+write", _t0)
 
         if self.with_rollup:
-            # NOTE: recomputes the merge (rollup is off on the bench hot path;
-            # a production deployment would fold these aggs into obs_out)
-            self._write_rollup(
-                b.where(F.col("__action").isin("insert", "update", "delete", "delete_noop")),
-                bid,
+            # second consumer of the persisted slim frame: no merge re-run
+            winners = out_meta.where(
+                F.col("__action").isin("insert", "update", "delete", "delete_noop")
+            ).withColumn(
+                "__op",
+                F.when(F.col("__action") == "delete_noop", F.lit("delete")).otherwise(
+                    F.col("__action")
+                ),
             )
+            self._write_rollup(winners, bid)
+            out_meta.unpersist()
+            _t0 = _tick("rollup", _t0)
 
         new_schema = schema if schema.schema_id != self.vault.snapshot().schema.schema_id else None
         self.vault.commit(

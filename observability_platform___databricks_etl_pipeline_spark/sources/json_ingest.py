@@ -62,3 +62,12 @@ def jsonl_to_wal(spark: SparkSession, json_path: str, wal_dir: str, chunk_size: 
     from observability_platform___databricks_etl_pipeline_spark.gen.changelog import write_wal
 
     return write_wal(read_jsonl(spark, json_path), wal_dir, chunk_size=chunk_size)
+
+
+def parse_kv_body(df: DataFrame, value_col: str = "value", out_col: str = "props") -> DataFrame:
+    """Message-bus body parse: a JSON-object payload column → typed
+    ``MAP<STRING,STRING>`` (the reference's Kafka/Event Hub body parse,
+    ``from_json(value, 'MAP<STRING,STRING>')`` at
+    ``00_ingest_from_log_hub.py:101,430``). Unparseable bodies yield a null
+    map — callers route them to quarantine like any malformed event."""
+    return df.withColumn(out_col, F.from_json(F.col(value_col), "MAP<STRING,STRING>"))

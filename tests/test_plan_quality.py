@@ -86,3 +86,65 @@ def test_engine_merge_has_single_exchange_per_side(spark, tmp_path):
         f["rows"] for f in snap.files if f["bucket"] == some_bucket
     )
     assert n_pruned < len(snap.files)
+
+
+def test_key_range_pruning_after_compact(spark, tmp_path):
+    """Manifest min/max key stats prune at FILE level: after a compact()
+    (range-clustered files), a point lookup lists strictly fewer files than
+    the full scan and returns identical rows (VERDICT r1 #6)."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(
+        generate_changelog(spark, 8000, seed=13, hot_pct=10, n_repos=40),
+        wal,
+        chunk_size=8000,
+    )
+    eng = CDCEngine(spark, str(tmp_path / "t"), n_buckets=4, with_rollup=False)
+    eng.replay(wal)
+    # force many small range-clustered files
+    eng.vault.compact(target_file_rows=300)
+    snap = eng.vault.snapshot()
+    assert all(f["min_key"] is not None for f in snap.files)
+
+    repo = "org/repo-0007"
+    pruned = eng.lookup(repo)
+    full = eng.current_state().where(F.col("repo") == repo)
+    assert len(pruned.inputFiles()) < len(eng.current_state().inputFiles())
+    got = {(r["path"], r["content_sha256"]) for r in pruned.collect()}
+    want = {(r["path"], r["content_sha256"]) for r in full.collect()}
+    assert got == want and got
+
+
+def test_rebucket_compact_then_replay(spark, tmp_path):
+    """compact(n_buckets=N) re-buckets atomically with its snapshot; later
+    batches merge correctly under the new bucket function (VERDICT r1 #9)."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+    from tests.oracle import replay_oracle
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 4000, seed=17), wal, chunk_size=1000)
+    root = str(tmp_path / "t")
+    eng = CDCEngine(spark, root, n_buckets=2, with_rollup=False)
+    eng.replay(wal, max_batches=2)
+    assert eng.vault.n_buckets == 2
+    eng.vault.compact(target_file_rows=1000, n_buckets=8)
+    assert eng.vault.n_buckets == 8
+    eng2 = CDCEngine(spark, root, with_rollup=False)  # reload, finish replay
+    eng2.replay(wal)
+    exp = replay_oracle(wal)
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in eng2.current_state().collect()
+    }
+    assert got == {k: v["content_sha256"] for k, v in exp.items()}
+    assert {f["bucket"] for f in eng2.vault.snapshot().files} <= set(range(8))
+    assert max(f["bucket"] for f in eng2.vault.snapshot().files) > 1
