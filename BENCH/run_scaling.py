@@ -64,8 +64,12 @@ try:
     res = eng.replay(wal)
     el = time.perf_counter() - t0
     assert all(b.skipped or b.conserved() for b in res.batches)
+    applied = [b for b in res.batches if not b.skipped and b.logical_bytes]
+    amp = round(sum(b.bytes_written for b in applied)
+                / max(sum(b.logical_bytes for b in applied), 1), 2)
     print("RESULT " + json.dumps({{"cpus": cpus, "sec": round(el, 2),
-                                   "events_per_sec": round(n_events / el, 1)}}))
+                                   "events_per_sec": round(n_events / el, 1),
+                                   "write_amp": amp}}))
 finally:
     shutil.rmtree(base, ignore_errors=True)
 """
@@ -126,7 +130,42 @@ def main() -> None:
         ratio = best(hi)["events_per_sec"] / best(lo)["events_per_sec"]
         effs[pair] = ratio / (hi / lo)
         lines.append(f"| local[{lo}] → local[{hi}] | {ratio:.2f}x | **{effs[pair]:.2f}** |")
+    amp = best(cpu_set[-1]).get("write_amp")
     lines += [
+        "",
+        "## COW write amplification",
+        "",
+        f"- Measured this run (n_buckets=32, 4 batches): **{amp}x** parquet bytes",
+        "  written per logical content byte changed. Amplification grows with",
+        "  table-size/batch-size ratio because every batch rewrites its affected",
+        "  buckets in full; with uniformly-spread keys all buckets are affected.",
+        "- Bucket-count sensitivity (400k events, 5 batches, measured r2): the",
+        "  per-batch rewrite ratio was ~1.1x on batch 1 rising to ~3.5x by batch",
+        "  4 at BOTH n_buckets=16 and 64 — bucket count alone doesn't cut",
+        "  amplification when keys are uniform; it's the lever for LOCALIZED key",
+        "  distributions plus table growth (`compact(n_buckets=...)` re-buckets",
+        "  atomically). The structural fixes at 100x scale are key-localized",
+        "  batches, more buckets via rebucket, or merge-on-read deltas (noted,",
+        "  out of scope this round).",
+        "",
+        "## Merge-strategy experiment (round 2, measured rejection)",
+        "",
+        "Two merge implementations are benchmarked behind `CDC_MERGE` on the",
+        "identical 8M-event workload:",
+        "",
+        "| strategy | local[2] ev/s | local[8] ev/s | 2→8 efficiency |",
+        "|---|---|---|---|",
+        "| `maxby` (default): union → JVM hash-agg max_by; 2 content shuffles | 42,849 | 122,045 | 0.71 |",
+        "| `bucket_pandas`: 1 content shuffle + Arrow applyInPandas LWW | 23,620 | 49,882 | 0.53 |",
+        "",
+        "The single-shuffle path loses 45% absolute throughput AND scales worse:",
+        "the Arrow round-trip of full bucket payloads through Python costs more",
+        "than the JVM shuffle it saves (tmpfs shuffle is cheap; Python workers",
+        "add their own contention). Kept as a tested, documented strategy flag;",
+        "`maxby` remains the default. The round-1 winner-selection/content-fetch",
+        "split idea is likewise rejected by measurement: it can only save the",
+        "duplicate+stale fraction of shuffle bytes, which this workload pins at",
+        "~6-8% — under the 15% adoption bar set in the round-1 verdict.",
         "",
         "## Interpretation",
         "",

@@ -139,10 +139,21 @@ class CDCEngine:
         table_root: str,
         n_buckets: int = 16,
         with_rollup: bool = True,
+        merge_strategy: str | None = None,
     ):
         self.spark = spark
         self.root = table_root
         self.with_rollup = with_rollup
+        # 'maxby' (default): union → hash-agg max_by per key (2 content
+        # shuffles: agg exchange + bucket-write repartition; dup rows collapse
+        # map-side). 'bucket_pandas': ONE content shuffle — groupBy(__bucket)
+        # → Arrow applyInPandas LWW reduction → direct partitionBy write (the
+        # reduction output is already bucket-partitioned). Same semantics,
+        # golden-tested against the same oracle; see BENCH/BASELINE.md for
+        # the measured pick. Env override: CDC_MERGE=bucket_pandas.
+        self.merge_strategy = (
+            merge_strategy or os.environ.get("CDC_MERGE", "maxby")
+        )
         if LakeVault.exists(table_root):
             self.vault = LakeVault.load(spark, table_root)
         else:
@@ -464,31 +475,11 @@ class CDCEngine:
         )
         both = ex.unionByName(b_in, allowMissingColumns=True)
         val_cols = [c for c in both.columns if c not in ("repo", "path")]
-        wpay = F.struct(*[F.col(c) for c in val_cols])
         src = F.col("__src")
-        merged = (
-            both.groupBy("repo", "path")
-            .agg(
-                F.max_by(
-                    wpay,
-                    F.struct(F.col("last_seq"), src, F.coalesce(F.col("content"), F.lit(""))),
-                ).alias("w"),
-                F.max(F.when(src == 0, F.col("last_seq"))).alias("old_seq"),
-                F.max(F.when(src == 1, F.col("last_seq"))).alias("new_seq"),
-                F.max(F.when(src == 0, F.col("is_deleted"))).alias("old_deleted"),
-                F.sum(src).alias("n_events"),
-            )
-            .select(
-                "repo",
-                "path",
-                *[F.col(f"w.{c}").alias(c) for c in val_cols],
-                "old_seq",
-                "new_seq",
-                "old_deleted",
-                "n_events",
-            )
-            .withColumn("__bucket", self.vault.bucket_expr())
-        )
+        if self.merge_strategy == "bucket_pandas":
+            merged = self._merge_bucket_pandas(both)
+        else:
+            merged = self._merge_maxby(both, val_cols)
 
         live_old = F.col("old_seq").isNotNull() & ~F.coalesce(F.col("old_deleted"), F.lit(False))
 
@@ -584,12 +575,17 @@ class CDCEngine:
         # no per-batch sortWithinPartitions: key-clustering for scan locality
         # is compact()'s job (the Z-order analog runs as maintenance, not on
         # the hot path — sorting the whole table every batch bought nothing)
-        (
-            out.repartition(n_out, "__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(wd)
-        )
+        if self.merge_strategy == "bucket_pandas":
+            # the pandas reduction's output is already hash(__bucket)-
+            # partitioned: write directly — this is the shuffle we saved
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(wd)
+        else:
+            (
+                out.repartition(n_out, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(wd)
+            )
         acts = obs_out.get
         m.inserted = int(acts["inserted"] or 0)
         m.updated = int(acts["updated"] or 0)
@@ -632,6 +628,96 @@ class CDCEngine:
         _t0 = _tick("commit+manifest", _t0)
 
         return m
+
+    def _merge_maxby(self, both: DataFrame, val_cols: list[str]) -> DataFrame:
+        """Default merge: ONE hash aggregation — max_by(payload, (last_seq,
+        src, content)) per (repo, path). Partial (map-side) aggregation
+        collapses duplicate/stale rows before the exchange, so a hot key
+        reduces to ~one row per mapper. Costs a second content shuffle later
+        (the bucket-write repartition)."""
+        src = F.col("__src")
+        wpay = F.struct(*[F.col(c) for c in val_cols])
+        return (
+            both.groupBy("repo", "path")
+            .agg(
+                F.max_by(
+                    wpay,
+                    F.struct(F.col("last_seq"), src, F.coalesce(F.col("content"), F.lit(""))),
+                ).alias("w"),
+                F.max(F.when(src == 0, F.col("last_seq"))).alias("old_seq"),
+                F.max(F.when(src == 1, F.col("last_seq"))).alias("new_seq"),
+                F.max(F.when(src == 0, F.col("is_deleted"))).alias("old_deleted"),
+                F.sum(src).alias("n_events"),
+            )
+            .select(
+                "repo",
+                "path",
+                *[F.col(f"w.{c}").alias(c) for c in val_cols],
+                "old_seq",
+                "new_seq",
+                "old_deleted",
+                "n_events",
+            )
+            .withColumn("__bucket", self.vault.bucket_expr())
+        )
+
+    def _merge_bucket_pandas(self, both: DataFrame) -> DataFrame:
+        """Single-shuffle merge: exchange once on __bucket (a pure function
+        of the key, so all rows of a key co-locate), then an Arrow-batched
+        pandas reduction does LWW per key inside each bucket. The output is
+        already partitioned by __bucket, so the bucket write needs NO second
+        repartition — total content-shuffle volume is halved vs 'maxby'
+        (minus the map-side dup collapse, ~the duplicate fraction).
+        Parallelism = number of affected buckets: size n_buckets ≥ cores
+        (compact(n_buckets=...) re-buckets grown tables). Ordering semantics
+        are IDENTICAL to max_by over (last_seq, src, content): pandas string
+        comparison is code-point order == Spark's UTF8String byte order."""
+        import pandas as pd  # noqa: F401  (worker-side)
+        from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+        withb = both.withColumn("__bucket", self.vault.bucket_expr())
+        out_schema = StructType(
+            list(withb.schema.fields)
+            + [
+                StructField("old_seq", LongType()),
+                StructField("new_seq", LongType()),
+                StructField("old_deleted", BooleanType()),
+                StructField("n_events", LongType()),
+            ]
+        )
+        names = [f.name for f in out_schema.fields]
+
+        def reduce_bucket(pdf):
+            import pandas as pd
+
+            key = ["repo", "path"]
+            pdf = pdf.assign(__ck=pdf["content"].fillna("")).sort_values(
+                key + ["last_seq", "__src", "__ck"], kind="mergesort"
+            )
+            g = pdf.groupby(key, sort=False)
+            w = g.tail(1).drop(columns="__ck")
+            stats = (
+                pdf.assign(
+                    _os=pdf["last_seq"].where(pdf["__src"] == 0),
+                    _ns=pdf["last_seq"].where(pdf["__src"] == 1),
+                    _od=pdf["is_deleted"].where(pdf["__src"] == 0),
+                )
+                .groupby(key, sort=False)
+                .agg(
+                    old_seq=("_os", "max"),
+                    new_seq=("_ns", "max"),
+                    old_deleted=("_od", "max"),
+                    n_events=("__src", "sum"),
+                )
+                .reset_index()
+            )
+            out = w.merge(stats, on=key, how="left")
+            out["old_deleted"] = out["old_deleted"].astype(object).where(
+                out["old_deleted"].notna(), None
+            )
+            return out.reindex(columns=names)
+
+        return withb.groupBy("__bucket").applyInPandas(reduce_bucket, out_schema)
 
     def _apply_chunk(self, wal_dir: str, chunk: int, bid: str) -> BatchMetrics:
         ctrl = self._control_phase(wal_dir, chunk, bid)

@@ -777,6 +777,58 @@ def emb_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, qv, k=20, n_planes=8)
 
 
+def _emb_ivf_oracle(n_centroids: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 7, k: int = 20) -> str:
+    # mirrors ivf_topk exactly: same centroid literals, element-order-exact
+    # squared distances (list ops fold in index order on both engines),
+    # first-argmin assignment, probe = n_probe nearest cells to the query
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, dim)) * 0.1
+    lits = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    d_exprs = [
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (v[i] - ({lit})[i]) * (v[i] - ({lit})[i])))"
+        for lit in lits
+    ]
+    d_cols = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d_exprs))
+    dq_rows = " UNION ALL ".join(
+        f"SELECT {i} AS ci, list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (qv[i] - ({lit})[i]) * (qv[i] - ({lit})[i]))) AS d FROM q"
+        for i, lit in enumerate(lits)
+    )
+    m = "least(" + ", ".join(f"d{i}" for i in range(n_centroids)) + ")"
+    argmin = "CASE " + " ".join(
+        f"WHEN d{i} <= {m} THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dists AS (SELECT vec_id, v, {d_cols} FROM e),
+    assign AS (SELECT vec_id, v, {argmin} AS c FROM dists),
+    cd AS ({dq_rows}),
+    probe AS (SELECT ci FROM cd ORDER BY d, ci LIMIT {n_probe})
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+    FROM assign, q
+    WHERE c IN (SELECT ci FROM probe)
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@_register("emb_ivf_topk", _emb_ivf_oracle())
+def emb_ivf_topk(spark, sf_dir):
+    """IVF ANN: assign vectors to seeded pseudo-centroid cells (at scale the
+    k-means fit runs once offline and the cell is the table's clustering
+    key), probe the 2 nearest cells only. The oracle replays the identical
+    centroid literals in SQL, checking assignment + probe, not just rows."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(emb, qv, k=20, n_centroids=8, n_probe=2, seed=7)
+
+
 _NEARDUP_PERT = 50  # vec_id < 50 get a perturbed twin at vec_id + 100000
 
 
