@@ -542,10 +542,10 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@_register(
-    "doc_ngram_jaccard",
-    """
-    WITH sh AS (
+# shared ngram-pair CTEs (3-gram shingle join) — used by doc_ngram_jaccard
+# and the dedup-clusters oracle below
+_NGRAM_CTES = """
+    ngsh AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -557,15 +557,24 @@ def doc_fingerprint(spark, sf_dir):
               FROM documents)
       )
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
+    ngsizes AS (SELECT doc_id, count(*) AS n_sh FROM ngsh GROUP BY doc_id),
+    nginter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM ngsh a JOIN ngsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    ngpairs AS (
+      SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+      FROM nginter JOIN ngsizes sa ON sa.doc_id = id_a JOIN ngsizes sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= 0.18
+"""
+
+
+@_register(
+    "doc_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_CTES}
+    SELECT id_a, id_b, jaccard FROM ngpairs WHERE jaccard >= 0.18
     """,
 )
 def doc_ngram_jaccard(spark, sf_dir):
@@ -575,6 +584,49 @@ def doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.18
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+@_register(
+    "doc_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM ngpairs WHERE jaccard >= 0.18
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM ngpairs WHERE jaccard >= 0.18
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT CAST(l.id AS BIGINT) AS doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           c.cluster_size AS cluster_size, l.id = l.cluster_id AS is_canonical
+    FROM lab l JOIN csz c USING (cluster_id)
+    """,
+)
+def doc_dedup_clusters(spark, sf_dir):
+    """Dedup survivorship: connected components over the n-gram-Jaccard
+    near-dup graph (iterative min-label propagation, one equi-join +
+    partial-agg min per round, observe-counted convergence), then keep the
+    min-id doc per cluster. The oracle is a recursive CTE computing min
+    reachable id — so the ITERATIVE algorithm's fixpoint is hash-verified."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.18)
+    out = dedup_clusters(docs, pairs, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
 
 
 @_register(

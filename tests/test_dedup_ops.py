@@ -126,3 +126,28 @@ def test_ngram_jaccard_pairs(spark):
     assert got.get((1, 4)) == 1.0
     assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
     assert (1, 3) not in got
+
+
+def test_connected_components_and_clusters(spark):
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3 (diameter 2, needs >1 round), pair 5-6, singletons 4,7
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    df = nodes.select(F.col("id").alias("doc_id"))
+    pairs = edges
+    out = {r["doc_id"]: r for r in dedup_clusters(df, pairs, "doc_id").collect()}
+    assert len(out) == 7
+    assert out[3]["cluster_id"] == 1 and out[3]["cluster_size"] == 3
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[4]["cluster_size"] == 1 and out[4]["is_canonical"]
+    # canonical survivors = one per cluster
+    assert sum(1 for r in out.values() if r["is_canonical"]) == 4
