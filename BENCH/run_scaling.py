@@ -108,7 +108,7 @@ def main() -> None:
         f"Workload: {args.events:,}-event deterministic WAL (updates-heavy: ~500k",
         "distinct (repo,path) keys, ~30 events/key, 50% hot-repo skew, ~3% exact",
         "dups, ~2% LWW races, ~5% deletes, ~0.5% malformed, 2 schema-evolution",
-        "events), 2 data chunks, replayed through the full engine (quarantine +",
+        "events), 4 data chunks, replayed through the full engine (quarantine +",
         "schema evolution + LWW dedup + sanitize/lang/classify pandas UDFs + COW",
         "MERGE + exactly-once commit). Same input at every parallelism level;",
         "WAL/table/shuffle on tmpfs (aggregate storage bandwidth scales with",

@@ -1201,3 +1201,134 @@ def pivot_event_matrix(spark, sf_dir):
         .fillna(0, subset=list(_EVENT_TYPES))
         .select("user_bucket", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
     )
+
+
+@_register(
+    "events_props_parse",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_parse(spark, sf_dir):
+    """Semi-structured body parse: ``from_json(value, 'MAP<STRING,STRING>')``
+    — the reference's literal Event Hub body pattern
+    (00_ingest_from_log_hub.py:101,430) — then typed extraction + rollup.
+    The MAP parse stays JVM-side (JacksonParser inside codegen); no Python."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv", F.from_json("props", "MAP<STRING,STRING>")
+    )
+    k = F.element_at("kv", F.lit("k")).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def _stream_tmp(prefix: str):
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    return f"{base}/in", f"{base}/out", f"{base}/cp"
+
+
+@_register(
+    "stream_windowed_rollup",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_rollup(spark, sf_dir):
+    """Streaming watermarked tumbling-window rollup (§2.9), hash-verified
+    against the equivalent batch SQL: sentinel rows advance the watermark
+    past every real event, so append mode emits the complete finalized
+    window set exactly once. See streaming/analytics.py."""
+    from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
+
+    stage, out, cp = _stream_tmp("stream-rollup-")
+    analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
+    analytics.windowed_rollup_stream(spark, stage, out, cp)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != analytics.SENTINEL_TYPE)
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
+    )
+
+
+@_register(
+    "stream_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization via applyInPandasWithState
+    (§2.10 custom stateful operator), hash-verified against the batch
+    lag-gap SQL: per-user event buffers close sessions incrementally as the
+    watermark passes them; sentinels flush the tail. Buffering is exact
+    under out-of-order arrival within the watermark."""
+    from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
+
+    stage, out, cp = _stream_tmp("stream-sess-")
+    analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
+    analytics.sessionize_stream(spark, stage, out, cp)
+    return spark.read.parquet(out).where(F.col("user_id") != analytics.SENTINEL_USER)
+
+
+_SAMPLE_RATES = {"en": 0.25, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.5
+
+
+def _stratified_oracle() -> str:
+    from observability_platform___databricks_etl_pipeline_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    pred = stratified_sample_sql("lang", _SAMPLE_RATES, _SAMPLE_DEFAULT, "doc_id")
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE {pred} GROUP BY lang
+    """
+
+
+@_register("doc_stratified_sample", _stratified_oracle())
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus rebalancing (curation op): keep-draw
+    is a pure row hash, so the sample is identical across cluster sizes,
+    retries, and engines — the oracle reproduces membership bit-for-bit.
+    Map-only narrow filter; aggregated here so the gate hashes the exact
+    kept-set (count + min + sum of ids per stratum)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", _SAMPLE_RATES, _SAMPLE_DEFAULT, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -151,3 +151,56 @@ def test_connected_components_and_clusters(spark):
     assert out[4]["cluster_size"] == 1 and out[4]["is_canonical"]
     # canonical survivors = one per cluster
     assert sum(1 for r in out.values() if r["is_canonical"]) == 4
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 60-node chain (diameter 59) must converge within
+    the default max_iter=25 — plain one-hop propagation would need 59."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 60)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 61)], "id long")
+    cc = connected_components(edges, nodes)
+    assert {r["cluster_id"] for r in cc.collect()} == {1}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph vs a driver-side union-find reference."""
+    import hashlib
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = []
+    for i in range(150):  # deterministic pseudo-random edges
+        h = hashlib.md5(f"edge:{i}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % n, int(h[8:16], 16) % n
+        if a != b:
+            edges.append((a, b))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(m) for m in comp.values() for x in m}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long"),
+            spark.createDataFrame([(i,) for i in range(n)], "id long"),
+        ).collect()
+    }
+    assert got == want

@@ -148,3 +148,25 @@ def test_rebucket_compact_then_replay(spark, tmp_path):
     assert got == {k: v["content_sha256"] for k, v in exp.items()}
     assert {f["bucket"] for f in eng2.vault.snapshot().files} <= set(range(8))
     assert max(f["bucket"] for f in eng2.vault.snapshot().files) > 1
+
+
+def test_stratified_sample_is_map_only(spark, sf01_dir):
+    """Sampling must be a narrow filter: no shuffle, no Python, codegen'd."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    kept = stratified_sample(docs, "lang", {"en": 0.25}, 0.5, "doc_id")
+    plan = _plan(kept)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Batch EvalPython" not in plan
+    assert "*(1) Filter" in plan  # whole-stage-codegen'd narrow filter
+
+
+def test_props_parse_stays_jvm_side(spark, sf01_dir):
+    """from_json(MAP) + typed extraction must not leave the JVM."""
+    df = QUERIES["events_props_parse"](spark, sf01_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    # only props/event_type read from the scan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "props" in read and "value" not in read
