@@ -106,8 +106,9 @@ def main() -> None:
         # updates-heavy key distribution (~500k keys at 2M events) — the
         # realistic CDC shape: change streams revisit keys
         write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal, chunk_size=chunk)
-        # rollup ON since round 2: it is a second consumer of the persisted
-        # slim merge output (~15% over rollup-off), not a merge re-run
+        # rollup ON since round 2: an async content-pruned re-read of the
+        # just-written bucket files, overlapped with the next batch
+        # (measured 2-5% over rollup-off at 2M/local[32]), not a merge re-run
         eng = CDCEngine(spark, f"{base}/tbl", n_buckets=32, with_rollup=True)
         t0 = time.perf_counter()
         res = eng.replay(wal)

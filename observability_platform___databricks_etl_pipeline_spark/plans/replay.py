@@ -163,6 +163,10 @@ class CDCEngine:
         self.quarantine_dir = os.path.join(table_root, "quarantine")
         self.metrics_dir = os.path.join(table_root, "ingest_metrics")
         self.checkpoint_path = os.path.join(table_root, "_vault", "checkpoints.json")
+        # set by replay(): rollup jobs overlap the next batch on this pool;
+        # None (e.g. streaming _apply_chunk) → rollup runs inline
+        self._rollup_pool = None
+        self._rollup_futs: list = []
 
     # ---- public API --------------------------------------------------------
 
@@ -199,6 +203,22 @@ class CDCEngine:
         # strictly sequential; a crash cancels nothing that matters (the
         # prefetched control work is idempotent side-effect-wise).
         pool = ThreadPoolExecutor(max_workers=1)
+        # Rollup jobs run on their own thread: the rollup is derived data
+        # over IMMUTABLE just-written bucket files, so it overlaps the next
+        # batch's control/merge instead of extending the critical path.
+        # A crash can leave a committed batch without its rollup — resume
+        # backfills it idempotently below (metrics are eventually-consistent
+        # derived data, never part of the exactly-once commit).
+        rpool = ThreadPoolExecutor(max_workers=1)
+        self._rollup_pool = rpool
+        rollup_futs: list = []
+        self._rollup_futs = rollup_futs
+        if self.with_rollup:
+            for b in result.batches:  # committed-batch backfill (crash hole)
+                if b.skipped and not os.path.isdir(
+                    os.path.join(self.metrics_dir, f"batch_id={b.batch_id}")
+                ):
+                    rollup_futs.append(rpool.submit(self._rollup_backfill, b.batch_id))
         try:
             fut = None
             for i, chunk in enumerate(todo):
@@ -216,8 +236,12 @@ class CDCEngine:
                 self._write_checkpoint(wal_dir, chunks)
                 if fail_after_batches is not None and i + 1 >= fail_after_batches:
                     raise RuntimeError(f"simulated crash after {i + 1} batches")
+            for rf in rollup_futs:
+                rf.result()  # surface real rollup failures
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+            rpool.shutdown(wait=True)  # never leave a rollup mid-write
+            self._rollup_pool = None
         result.snapshot_id = self.vault.current_snapshot_id()
         self._write_checkpoint(wal_dir, chunks)
         return result
@@ -487,9 +511,9 @@ class CDCEngine:
         # lang-infer, one Arrow round trip — north rule: vectorized pandas
         # UDFs, never per-row Python) is evaluated over the merged rows and
         # applied only where the batch won (src=1); carried table rows pass
-        # through untouched. The merged set is persisted (below, slim
-        # projection, MEMORY_AND_DISK) only when the rollup needs a second
-        # pass over it; with rollup off the single consumer streams through.
+        # through untouched. The merge streams through exactly once (no
+        # persist): the rollup's second pass reads the bucket files this
+        # batch just wrote, which carry __action for that purpose.
         is_batch = src == 1
         b = (
             merged.withColumn(
@@ -540,14 +564,6 @@ class CDCEngine:
 
         out_cols = [*cur_names, "__bucket", "__action", "n_events"]
         out_meta = out_meta.select(*out_cols)
-        if self.with_rollup:
-            # two consumers (bucket write + rollup): persist the SLIM merged
-            # frame once — spill-safe — instead of re-executing the whole
-            # union + max_by + transform UDF for the rollup (round-1 issue:
-            # with_rollup=True silently 2×'d the data phase)
-            from pyspark.storagelevel import StorageLevel
-
-            out_meta = out_meta.persist(StorageLevel.MEMORY_AND_DISK)
 
         # job 3: the bucket write — action counts + dedup accounting ride it
         # via observe (one pass computes metrics AND writes files)
@@ -569,7 +585,20 @@ class CDCEngine:
                     F.coalesce(F.length("content"), F.lit(0)).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("logical_bytes"),
-        ).select(*cur_names, "__bucket")
+        ).select(
+            *cur_names,
+            "__action",
+            F.length("content").alias("__content_len"),
+            "__bucket",
+        )
+        # __action/__content_len are written into the bucket files: they
+        # cost ~nothing (RLE-dictionary string + int), scan() projects by
+        # schema so readers never see them, and they let the rollup run
+        # post-write over the files already on tmpfs/disk with the content
+        # column PRUNED from the re-read — instead of persisting the
+        # content-bearing merge frame (round-1 issue: rollup 2×'d the data
+        # phase; a MEMORY_AND_DISK persist still paid a full columnar cache
+        # build of the payload)
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
         # no per-batch sortWithinPartitions: key-clustering for scan locality
@@ -603,17 +632,16 @@ class CDCEngine:
         _t0 = _tick("merge+transform+write", _t0)
 
         if self.with_rollup:
-            # second consumer of the persisted slim frame: no merge re-run
-            winners = out_meta.where(
-                F.col("__action").isin("insert", "update", "delete", "delete_noop")
-            ).withColumn(
-                "__op",
-                F.when(F.col("__action") == "delete_noop", F.lit("delete")).otherwise(
-                    F.col("__action")
-                ),
-            )
-            self._write_rollup(winners, bid)
-            out_meta.unpersist()
+            # rollup over the files this batch just wrote (already on disk —
+            # the scale-safe second pass: a content-pruned parquet re-read of
+            # immutable files, not a merge re-run and not a cache of the full
+            # payload). Off the critical path when replay() provides a pool.
+            if self._rollup_pool is not None:
+                self._rollup_futs.append(
+                    self._rollup_pool.submit(self._rollup_from_dir, wd, bid)
+                )
+            else:
+                self._rollup_from_dir(wd, bid)
             _t0 = _tick("rollup", _t0)
 
         new_schema = schema if schema.schema_id != self.vault.snapshot().schema.schema_id else None
@@ -733,23 +761,66 @@ class CDCEngine:
             "lineage": [f"{os.path.abspath(wal_dir)}/chunk={chunk}"],
         }
 
+    def _rollup_from_dir(self, data_dir: str, bid: str) -> None:
+        """Build the per-batch rollup from a written bucket dir: prune to the
+        slim metadata columns (__content_len stands in for the payload, so
+        the content column is never re-read), keep this batch's winners."""
+        winners = (
+            self.spark.read.parquet(data_dir)
+            .select("repo", "commit", "last_seq", "__action", "__content_len")
+            .where(F.col("__action").isin("insert", "update", "delete", "delete_noop"))
+            .withColumn(
+                "__op",
+                F.when(F.col("__action") == "delete_noop", F.lit("delete")).otherwise(
+                    F.col("__action")
+                ),
+            )
+        )
+        self._write_rollup(winners, bid)
+
+    def _rollup_backfill(self, bid: str) -> None:
+        """Recompute a committed batch's missing rollup (crash landed between
+        commit and the async rollup write). The batch's immutable write dir
+        is discoverable by its bid tag; files written before __action/
+        __content_len existed (or already compacted away) are skipped — the
+        rollup is best-effort derived data, never replay state."""
+        import glob as _glob
+
+        dirs = _glob.glob(os.path.join(self.vault.data_dir, f"w-*-{bid[:8]}-*"))
+        if not dirs:
+            return
+        try:
+            self._rollup_from_dir(dirs[0], bid)
+        except Exception:
+            return
+
     def _write_rollup(self, winners, bid: str) -> None:
         """Per-batch per-repo ingest rollup — the Gold-layer analog
         (``03_build_flow_dataset.py:66-114``): counts, op mix, byte volume,
         content-length percentiles, seq range, sample commits."""
         (
-            winners.groupBy("repo")
+            winners.withColumn("content_len", F.col("__content_len"))
+            .groupBy("repo")
             .agg(
                 F.count(F.lit(1)).alias("events"),
                 F.sum((F.col("__op") == "insert").cast("long")).alias("inserts"),
                 F.sum((F.col("__op") == "update").cast("long")).alias("updates"),
                 F.sum((F.col("__op") == "delete").cast("long")).alias("deletes"),
-                F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("bytes"),
-                F.expr("percentile_approx(length(content), 0.5)").alias("p50_content_len"),
-                F.expr("percentile_approx(length(content), 0.95)").alias("p95_content_len"),
+                F.sum(F.coalesce(F.col("content_len"), F.lit(0))).alias("bytes"),
+                F.expr("percentile_approx(content_len, 0.5)").alias("p50_content_len"),
+                F.expr("percentile_approx(content_len, 0.95)").alias("p95_content_len"),
                 F.min("last_seq").alias("first_seq"),
                 F.max("last_seq").alias("last_seq"),
-                F.slice(F.collect_set("commit"), 1, 5).alias("sample_commits"),
+                # deterministic hash-thinned sample: collect_set over every
+                # distinct commit builds multi-thousand-element sets per repo
+                # before the slice; thin to ~2.4% first (still "a sample")
+                F.slice(
+                    F.collect_set(
+                        F.when(F.abs(F.xxhash64("commit")) % 41 == 0, F.col("commit"))
+                    ),
+                    1,
+                    5,
+                ).alias("sample_commits"),
             )
             .write.mode("overwrite")  # per-batch subdir => idempotent on retry
             .parquet(os.path.join(self.metrics_dir, f"batch_id={bid}"))

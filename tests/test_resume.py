@@ -70,3 +70,28 @@ def test_crash_mid_batch_before_commit(spark, tmp_path, wal):
         for r in CDCEngine(spark, root, n_buckets=8).current_state().collect()
     }
     assert got == {k: v["content_sha256"] for k, v in exp.items()}
+
+
+def test_rollup_backfill_on_resume(spark, tmp_path):
+    """The rollup is async derived data: a crash can commit a batch without
+    its rollup. Resume must backfill the hole idempotently."""
+    import os
+    import shutil
+
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 4000, seed=3), wal, chunk_size=2000)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4)
+    res = eng.replay(wal)
+    applied = [b for b in res.batches if not b.skipped]
+    gone = os.path.join(eng.metrics_dir, f"batch_id={applied[0].batch_id}")
+    assert os.path.isdir(gone)
+    shutil.rmtree(gone)  # simulate crash-between-commit-and-rollup
+
+    res2 = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4).replay(wal)
+    assert all(b.skipped for b in res2.batches)  # nothing re-applied
+    assert os.path.isdir(gone)  # rollup hole backfilled
+    roll = spark.read.parquet(eng.metrics_dir)
+    assert roll.where(f"batch_id = '{applied[0].batch_id}'").count() > 0
