@@ -32,6 +32,35 @@ def _norm(a: Column) -> Column:
     )
 
 
+# Higher-order functions (aggregate/zip_with) are CodegenFallback in Spark —
+# every element application is an interpreted closure call, ~µs-scale. When
+# the dimension is known (it always is for an embedding column) an unrolled
+# explicit sum compiles into whole-stage codegen AND adds in the identical
+# left-to-right IEEE order as the fold (acc starts at 0.0, ascending index),
+# so results are bit-identical — the DuckDB oracles keep matching. Unrolling
+# is linear in dim; beyond _UNROLL_MAX_DIM fall back to the fold rather than
+# emit a pathological expression tree (codegen compile time blows up).
+_UNROLL_MAX_DIM = 512
+
+
+def _dot_dim(a: Column, b: Column, dim: int) -> Column:
+    if not 0 < dim <= _UNROLL_MAX_DIM:
+        return _dot(a, b)
+    out: Column = F.lit(0.0).cast("double")
+    for i in range(dim):
+        out = out + a.getItem(i) * b.getItem(i)
+    return out
+
+
+def _norm_dim(a: Column, dim: int) -> Column:
+    if not 0 < dim <= _UNROLL_MAX_DIM:
+        return _norm(a)
+    out: Column = F.lit(0.0).cast("double")
+    for i in range(dim):
+        out = out + a.getItem(i) * a.getItem(i)
+    return F.sqrt(out)
+
+
 def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
     """Cosine similarity of each row's vector against a constant query vector.
     The query is folded into the plan as a literal array (tiny; for large
@@ -196,39 +225,57 @@ def embedding_neardup_pairs(
     (table, bucket)), exact cosine verified and deduped with one groupBy.
 
     Recall: P(pair missed) = (1 - (1 - θ/π)^n_planes)^n_tables — a single
-    table (round 1) loses real pairs at θ=0.9; three 4-plane tables push the
-    miss probability below 1e-4 at cosine ≥ 0.9. Never a cross join; shuffle
-    keys are (table, bucket) so hot buckets spread across tables."""
+    table (round 1) loses real pairs at θ=0.9; multiple independent tables
+    multiply the miss probabilities. Never a cross join; shuffle keys are
+    (table, bucket) so hot buckets spread across tables.
+
+    Cost shape: candidate generation carries only (id, table, bucket) — no
+    vectors — so the self-join + DISTINCT dedupe shuffles 16 bytes/pair. The
+    exact cosine (an interpreted array fold — the per-pair CPU cost here) is
+    evaluated ONCE per distinct pair after joining the slim (id, v, norm)
+    table back per side, with norms precomputed per ROW instead of re-folded
+    per pair (the round-1 shape folded 3 arrays per candidate × a duplicate
+    per matching table)."""
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(dim_probe[0]["d"]) if dim_probe else 0
     v = F.col(vec_col).cast("array<double>")
+    nv = _norm_dim(v, dim)
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
+    )
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                rhp_bucket_expr(v, _hyperplanes(dim, n_planes, seed + 1000 * t)).alias("bk"),
+                rhp_bucket_expr(F.col("v"), _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
+                    "bk"
+                ),
             )
             for t in range(n_tables)
         ]
     )
-    b = (
-        df.select(F.col(id_col).alias("id"), v.alias("v"), F.explode(tables).alias("tb"))
-        .select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    b = corpus.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
     )
-    l, r = b.alias("l"), b.alias("r")
-    cos = _dot(F.col("l.v"), F.col("r.v")) / (
-        F.when(_norm(F.col("l.v")) == 0, 1.0).otherwise(_norm(F.col("l.v")))
-        * F.when(_norm(F.col("r.v")) == 0, 1.0).otherwise(_norm(F.col("r.v")))
-    )
-    return (
-        l.join(r, ["t", "bk"])
+    cand = (
+        b.alias("l")
+        .join(b.alias("r"), ["t", "bk"])
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cos, 6).alias("__cos"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("__cos").alias("cosine"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a_side = corpus.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b_side = corpus.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -929,7 +929,7 @@ def emb_neardup_pairs(spark, sf_dir):
     )
     aug = base.unionByName(pert)
     out = embedding_neardup_pairs(
-        aug, threshold=0.9, n_planes=4, id_col="vec_id", vec_col="v", n_tables=3
+        aug, threshold=0.9, n_planes=6, id_col="vec_id", vec_col="v", n_tables=3
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
