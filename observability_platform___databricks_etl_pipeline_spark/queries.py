@@ -1332,3 +1332,59 @@ def doc_stratified_sample(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@_register(
+    "stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark — watermark-
+    bounded keyed state): the staged input carries planted duplicate copies
+    of every 7th event; the deduped stream must equal the original table
+    exactly. First-occurrence ambiguity is moot because duplicates are
+    bit-identical rows."""
+    from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
+
+    stage, out, cp = _stream_tmp("stream-dedup-")
+    ev = _t(spark, sf_dir, "events")
+    dups = ev.where(F.col("event_id") % 7 == 0)
+    analytics.stage_ordered_events(spark, ev.unionByName(dups).unionByName(dups), stage)
+    analytics.dedup_stream(spark, stage, out, cp)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != analytics.SENTINEL_USER)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@_register(
+    "doc_incremental_neardup",
+    f"""
+    WITH {_NGRAM_CTES}
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS corpus_id,
+           jaccard
+    FROM ngpairs
+    WHERE (id_a % 2) <> (id_b % 2) AND jaccard >= 0.18
+    """,
+)
+def doc_incremental_neardup(spark, sf_dir):
+    """Incremental dedup: odd doc_ids play the incoming batch, even ids the
+    existing corpus; near-dup pairs of new-vs-corpus only (the asymmetric
+    every-ingest shape — |new|×bucket, never corpus²)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    out = incremental_jaccard_pairs(new, corpus, "text", "doc_id", n=3, threshold=0.18)
+    return out.select(
+        F.col("new_id").cast("long"),
+        F.col("corpus_id").cast("long"),
+        "jaccard",
+    )

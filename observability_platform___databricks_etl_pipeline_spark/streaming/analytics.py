@@ -250,3 +250,33 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming exact deduplication: first occurrence of each key is
+    emitted, replays/duplicates are suppressed by keyed state.
+    ``dropDuplicatesWithinWatermark`` bounds state by event time — a key's
+    dedup record is dropped once the watermark passes it, so state is
+    O(keys per watermark horizon), not O(stream) (the scale requirement;
+    plain dropDuplicates would grow forever). Duplicates that straddle more
+    than the watermark delay are the accepted trade — same contract as the
+    reference's dedup-on-ingest."""
+    src = _read_stream(spark, events_dir, max_files_per_trigger).withWatermark("ts", watermark)
+    q = (
+        src.dropDuplicatesWithinWatermark(list(key_cols))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

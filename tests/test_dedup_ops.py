@@ -204,3 +204,31 @@ def test_connected_components_matches_union_find(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_jaccard_pairs(spark):
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import incremental_jaccard_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog at home"),
+            (4, "completely different corpus text about query engines"),
+            (6, "the quick brown fox jumps over the lazy dog at home"),  # corpus-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog at house"),  # near-dup of 2 and 6
+            (3, "totally unrelated incoming document about parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(new, corpus, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    assert (1, 2) in got and (1, 6) in got and got[(1, 2)] > 0.5
+    # asymmetric: the corpus-internal pair (2,6) must NOT be reported
+    assert all(k[0] in (1, 3) for k in got)
+    assert (3, 4) not in got

@@ -152,3 +152,17 @@ def test_sessionize_stream_matches_batch_on_events_table(spark, sf_dir, tmp_path
     )
     want = {(r["user_id"], r["start"]): (r["end"], r["n"], r["sv"]) for r in sess.collect()}
     assert got == want and len(got) > 1
+
+
+def test_dedup_stream_suppresses_duplicates_across_batches(spark, tmp_path):
+    from observability_platform___databricks_etl_pipeline_spark.streaming.analytics import dedup_stream
+
+    stage, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    os.makedirs(stage)
+    a, b2, c = _ev(1, 0, 1, value=5.0), _ev(2, 5, 1), _ev(3, 8, 2)
+    _write_file(spark, [a, b2], os.path.join(stage, "a.parquet"), 1_000_000_000)
+    # duplicate of event 1 arrives in a LATER micro-batch, within watermark
+    _write_file(spark, [a, c], os.path.join(stage, "b.parquet"), 1_000_000_060)
+    dedup_stream(spark, stage, out, cp, max_files_per_trigger=1)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
