@@ -244,8 +244,13 @@ class LakeVault:
     # ---- scan (time travel + rename-by-id + bucket pruning) --------------
 
     def bucket_expr(self, df_or_cols: Any = None) -> F.Column:
-        keys = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.key_cols]
-        return F.pmod(F.xxhash64(*keys), F.lit(self.n_buckets))
+        # Murmur3 (F.hash, seed 42) over the RAW key columns — bit-identical
+        # to Spark's HashPartitioning partition id (pmod(murmur3(keys), n)).
+        # This alignment is load-bearing: when n_buckets divides
+        # spark.sql.shuffle.partitions, the output of any groupBy(key_cols)
+        # is ALREADY bucket-partitioned, so the engine's bucket write needs
+        # no second shuffle (see replay._data_phase).
+        return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
 
     def scan(
         self,
@@ -464,8 +469,7 @@ class LakeVault:
         if not snap.files:
             return snap.snapshot_id
         nb = n_buckets if n_buckets is not None else self.n_buckets
-        keys = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.key_cols]
-        bucket = F.pmod(F.xxhash64(*keys), F.lit(nb))
+        bucket = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(nb))
         df = self.scan()
         n_out = max(1, int(sum(f["rows"] for f in snap.files) // target_file_rows + 1))
         wd = self.new_write_dir("compact")

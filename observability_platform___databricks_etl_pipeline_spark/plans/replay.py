@@ -604,9 +604,19 @@ class CDCEngine:
         # no per-batch sortWithinPartitions: key-clustering for scan locality
         # is compact()'s job (the Z-order analog runs as maintenance, not on
         # the hot path — sorting the whole table every batch bought nothing)
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0)
         if self.merge_strategy == "bucket_pandas":
             # the pandas reduction's output is already hash(__bucket)-
             # partitioned: write directly — this is the shuffle we saved
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(wd)
+        elif shuffle_p and shuffle_p % self.vault.n_buckets == 0:
+            # bucket-aligned direct write: the merge agg's exchange is
+            # HashPartitioning(repo, path, P) with pid = pmod(murmur3, P),
+            # and __bucket = pmod(murmur3, n_buckets) over the same keys
+            # (bucket_expr) — with n_buckets | P every reduce task holds
+            # exactly one bucket (a few adjacent ones after AQE coalesce),
+            # so partitionBy lands the same file layout with NO second
+            # content shuffle. This halves shuffle bytes per batch.
             out.write.mode("overwrite").partitionBy("__bucket").parquet(wd)
         else:
             (
@@ -661,10 +671,15 @@ class CDCEngine:
         """Default merge: ONE hash aggregation — max_by(payload, (last_seq,
         src, content)) per (repo, path). Partial (map-side) aggregation
         collapses duplicate/stale rows before the exchange, so a hot key
-        reduces to ~one row per mapper. Costs a second content shuffle later
-        (the bucket-write repartition)."""
+        reduces to ~one row per mapper. The agg's exchange doubles as the
+        bucket distribution (murmur3-aligned), so the bucket write is
+        shuffle-free when n_buckets divides shuffle.partitions."""
         src = F.col("__src")
         wpay = F.struct(*[F.col(c) for c in val_cols])
+        # NOTE: the exchange this agg plans is ALSO the bucket distribution —
+        # bucket_expr is murmur3-aligned with HashPartitioning(repo, path),
+        # so the bucket write downstream is shuffle-free when n_buckets
+        # divides spark.sql.shuffle.partitions.
         return (
             both.groupBy("repo", "path")
             .agg(
