@@ -167,6 +167,18 @@ def main() -> None:
         "duplicate+stale fraction of shuffle bytes, which this workload pins at",
         "~6-8% — under the 15% adoption bar set in the round-1 verdict.",
         "",
+        "## Round-2 structural changes measured here",
+        "",
+        "- **Bucket-aligned write**: the bucket function is Murmur3-aligned",
+        "  with HashPartitioning, so the merge agg's exchange doubles as the",
+        "  bucket distribution and the write needs no second content shuffle",
+        "  (shuffle bytes/batch roughly halved; +13% local[2], +22% local[8]",
+        "  at 8M events, 2→8 efficiency 0.71→0.77 in the A/B).",
+        "- **Async rollup**: with_rollup=True (the shipped default) now costs",
+        "  2-5% over rollup-off (was 30-55%): a content-pruned re-read of the",
+        "  just-written immutable files on a worker thread, overlapped with",
+        "  the next batch; resume backfills crash holes idempotently.",
+        "",
         "## Interpretation",
         "",
         "- The 2→8 pair is the honest compute-scaling signal: pure-compute JVM",

@@ -183,6 +183,46 @@ def ivf_assign(
     return df.select(F.col(id_col), vec.alias(vec_col), best_c.alias("centroid"))
 
 
+def kmeans_fit(
+    df: DataFrame,
+    n_centroids: int,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> np.ndarray:
+    """Distributed Lloyd k-means for the IVF index: seeded initial centroids,
+    then ``n_iter`` rounds of assign (codegen'd argmin over centroid
+    literals, map-only) + recompute (ONE groupBy(centroid) with a per-
+    dimension avg — no explode, dim aggregate columns ride a single
+    partial-aggregated exchange of k×dim values, not n×dim rows). Each round
+    is one job over the corpus; centroids (k×dim doubles) come back to the
+    driver — the classic offline index build. Empty clusters keep their
+    previous centroid. Deterministic for fixed seed/data."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"])
+    rng = np.random.RandomState(seed)
+    centroids = rng.standard_normal((n_centroids, dim)) * 0.1
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        means = (
+            assigned.groupBy("centroid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        nxt = centroids.copy()
+        for r in means:
+            nxt[r["centroid"]] = [r[f"m{i}"] for i in range(dim)]
+        if np.allclose(nxt, centroids, atol=1e-9):
+            break
+        centroids = nxt
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -192,13 +232,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF probe: deterministic pseudo-centroids (seeded normals — standing in
-    for a k-means fit, which at scale runs once offline), search the n_probe
-    nearest cells only."""
+    """IVF probe: search only the ``n_probe`` cells nearest the query. Pass
+    ``centroids`` from ``kmeans_fit`` for a real index; the default seeded
+    pseudo-centroids keep the probe path oracle-reproducible (the gate
+    replays the same literals in SQL)."""
     q = np.asarray(query, dtype="float64")
-    rng = np.random.RandomState(seed)
-    centroids = rng.standard_normal((n_centroids, len(q))) * 0.1
+    if centroids is None:
+        rng = np.random.RandomState(seed)
+        centroids = rng.standard_normal((n_centroids, len(q))) * 0.1
     dists = ((centroids - q) ** 2).sum(axis=1)
     probe = np.argsort(dists)[:n_probe].tolist()
     assigned = ivf_assign(df, centroids, id_col, vec_col)

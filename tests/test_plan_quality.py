@@ -170,3 +170,27 @@ def test_props_parse_stays_jvm_side(spark, sf01_dir):
     # only props/event_type read from the scan
     read = plan.split("ReadSchema")[1][:200]
     assert "props" in read and "value" not in read
+
+
+def test_bucket_expr_matches_hashpartitioning(spark, sf01_dir):
+    """Load-bearing invariant for the shuffle-free bucket write: bucket_expr
+    (pmod(murmur3(keys), n)) must equal the partition id HashPartitioning
+    assigns for groupBy(keys) when shuffle.partitions == n. Pinned here so a
+    Spark upgrade that changes hashing/seed fails loudly instead of silently
+    degrading into a 1000-small-files write."""
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = spark.read.parquet(f"{sf01_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("repo"), F.col("lang").alias("path")
+        )
+        got = (
+            df.groupBy("repo", "path")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("bk", F.pmod(F.hash("repo", "path"), F.lit(n)))
+        )
+        assert got.where("pid <> bk").count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)

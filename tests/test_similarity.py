@@ -58,3 +58,36 @@ def test_embedding_neardup_pairs(spark, vecs):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.99).collect()}
     assert (3, 7) in pairs
     assert len(pairs) < 20  # not exploding into everything
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    import hashlib
+
+    import numpy as np
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    # 3 planted clusters at distant means, deterministic jitter
+    means = np.array([[5.0] * 8, [-5.0] * 8, [0.0] * 8])
+    rows = []
+    for i in range(240):
+        c = i % 3
+        h = hashlib.md5(f"k{i}".encode()).digest()
+        jit = (np.frombuffer(h[:8], dtype=np.uint8).astype("float64") - 127.5) / 255.0
+        rows.append((i, (means[c] + jit).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_fit(df, n_centroids=3, n_iter=8, seed=7)
+    # each planted mean is within jitter range of some fitted centroid
+    for m in means:
+        assert min(np.abs(cents - m).max(axis=1)) < 0.5
+
+    # IVF over the FITTED index: probing 1 cell returns the exact top-k
+    q = (means[0] + 0.01).tolist()
+    got = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_probe=1, centroids=cents).collect()]
+    want = [r["vec_id"] for r in brute_force_topk(df, q, 5).collect()]
+    assert got == want
