@@ -155,7 +155,8 @@ def main() -> None:
         "",
         "| strategy | local[2] ev/s | local[8] ev/s | 2→8 efficiency |",
         "|---|---|---|---|",
-        "| `maxby` (default): union → JVM hash-agg max_by; 2 content shuffles | 42,849 | 122,045 | 0.71 |",
+        "| `maxby` (default): union → JVM hash-agg max_by; 2 content shuffles when measured, 1 since the aligned write | 42,849 | 122,045 | 0.71 |",
+        "| `maxby` + bucket-aligned write (current default plan): 1 content shuffle | 48,252 | 149,062 | **0.77** |",
         "| `bucket_pandas`: 1 content shuffle + Arrow applyInPandas LWW | 23,620 | 49,882 | 0.53 |",
         "",
         "The single-shuffle path loses 45% absolute throughput AND scales worse:",

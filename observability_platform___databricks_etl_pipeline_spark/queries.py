@@ -960,22 +960,30 @@ def _sanitize_sql_duckdb(expr: str) -> str:
 
 
 def _cdc_replay_oracle() -> str:
+    # The WAL also carries (a) a generation of MALFORMED events (null commit,
+    # fresh content, the HIGHEST seqs) that the engine must quarantine — if
+    # they applied, every third sha below would change and the gate would
+    # hash-mismatch — and (b) an add_column('quality') schema event between
+    # the insert and update generations, so update winners carry
+    # props['quality'] in the evolved column while insert-era winners
+    # backfill NULL. The oracle simply never includes (a) and models (b) as
+    # a per-branch value.
     san = _sanitize_sql_duckdb("content0")
     return f"""
     WITH ev AS (
       SELECT CAST(doc_id AS BIGINT) AS seq, 'corpus/' || source AS repo,
              'docs/doc_' || doc_id || '.txt' AS path, md5(text) AS commit,
-             'insert' AS op, lang, text AS content
+             'insert' AS op, lang, text AS content, CAST(NULL AS DOUBLE) AS quality
       FROM documents
       UNION ALL
       SELECT CAST(doc_id + {_REPLAY_N} AS BIGINT), 'corpus/' || source,
              'docs/doc_' || doc_id || '.txt', md5(text || ':v2'),
-             'update', NULL, text || '{_REPLAY_SUF}'
+             'update', NULL, text || '{_REPLAY_SUF}', CAST(n_chars AS DOUBLE)
       FROM documents WHERE doc_id % 5 = 0
       UNION ALL
       SELECT CAST(doc_id + {2 * _REPLAY_N} AS BIGINT), 'corpus/' || source,
              'docs/doc_' || doc_id || '.txt', md5('tombstone:' || doc_id),
-             'delete', NULL, NULL
+             'delete', NULL, NULL, NULL
       FROM documents WHERE doc_id % 17 = 0
     ),
     w AS (
@@ -983,26 +991,30 @@ def _cdc_replay_oracle() -> str:
              arg_max(commit, seq) AS commit,
              nullif(arg_max(coalesce(lang, '__null__'), seq), '__null__') AS lang0,
              arg_max(coalesce(content, ''), seq) AS content0,
+             nullif(arg_max(coalesce(CAST(quality AS VARCHAR), '__null__'), seq), '__null__') AS qual0,
              arg_max(op, seq) AS last_op
       FROM ev GROUP BY repo, path
     )
     SELECT repo, path, commit,
            coalesce(lang0, 'text') AS lang,
            sha256({san}) AS content_sha256,
-           last_seq
+           last_seq,
+           CAST(qual0 AS DOUBLE) AS quality
     FROM w WHERE last_op <> 'delete'
     """
 
 
 @_register("cdc_replay_documents", _cdc_replay_oracle())
 def cdc_replay_documents(spark, sf_dir):
-    """THE ENGINE, driver-verified: derive a 3-generation WAL from documents
-    (inserts; redactable-tailed updates for doc_id%5; deletes for doc_id%17),
-    replay it through the full COW pipeline (quarantine, LWW merge, fused
-    transform UDF, exactly-once commit), return the final state. The DuckDB
-    oracle is arg_max-per-key + the sanitize chain as SQL — so dedup order,
-    tombstones, lang inference AND the pandas-UDF sanitization are all
-    hash-checked, not just row counts."""
+    """THE ENGINE, driver-verified: derive a 5-generation WAL from documents
+    (inserts; an add_column('quality') schema event; redactable-tailed
+    updates for doc_id%5 carrying props['quality']; deletes for doc_id%17;
+    MALFORMED null-commit updates for doc_id%3 at the highest seqs), replay
+    it through the full COW pipeline, return the final state. The DuckDB
+    oracle is arg_max-per-key + the sanitize chain as SQL — dedup order,
+    tombstones, lang inference, pandas-UDF sanitization, schema evolution
+    (quality column) AND quarantine (the malformed generation would win LWW
+    if it leaked through) are all hash-checked, not just row counts."""
     import tempfile
 
     from observability_platform___databricks_etl_pipeline_spark.gen.changelog import write_wal
@@ -1027,6 +1039,10 @@ def cdc_replay_documents(spark, sf_dir):
         F.col("text").alias("content"),
         props.alias("props"),
     )
+    upd_props = F.create_map(
+        F.lit("n_chars"), F.col("n_chars").cast("string"),
+        F.lit("quality"), F.col("n_chars").cast("string"),  # integer string: exact double round-trip in both engines
+    )
     upd = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _REPLAY_N).cast("long").alias("seq"),
         _ts(F.col("doc_id") + _REPLAY_N).alias("ts"),
@@ -1036,6 +1052,34 @@ def cdc_replay_documents(spark, sf_dir):
         F.lit("update").alias("op"),
         F.lit(None).cast("string").alias("lang"),
         F.concat(F.col("text"), F.lit(_REPLAY_SUF)).alias("content"),
+        upd_props.alias("props"),
+    )
+    # schema event between the insert and update generations (own chunk):
+    # add_column('quality', double) — update winners populate it from props,
+    # insert-era winners backfill NULL
+    schema_ev = spark.range(1).select(
+        F.lit(50_000).cast("long").alias("seq"),
+        _ts(F.lit(50_000)).alias("ts"),
+        F.lit("corpus/_schema").alias("repo"),
+        F.lit("_schema").alias("path"),
+        F.md5(F.lit("add-quality")).alias("commit"),
+        F.lit("add_column").alias("op"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.create_map(F.lit("column"), F.lit("quality"), F.lit("type"), F.lit("double")).alias("props"),
+    )
+    # malformed generation at the HIGHEST seqs (null commit): the engine must
+    # quarantine these — if they applied they would WIN LWW and rewrite every
+    # third sha, so the oracle (which excludes them) would hash-mismatch
+    bad = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 3 * _REPLAY_N).cast("long").alias("seq"),
+        _ts(F.col("doc_id") + 3 * _REPLAY_N).alias("ts"),
+        repo.alias("repo"),
+        path.alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit("update").alias("op"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat(F.col("text"), F.lit(":SHOULD_NEVER_APPLY")).alias("content"),
         props.alias("props"),
     )
     dele = docs.where(F.col("doc_id") % 17 == 0).select(
@@ -1049,13 +1093,14 @@ def cdc_replay_documents(spark, sf_dir):
         F.lit(None).cast("string").alias("content"),
         props.alias("props"),
     )
-    wal_df = ins.unionByName(upd).unionByName(dele)
+    wal_df = ins.unionByName(upd).unionByName(dele).unionByName(schema_ev).unionByName(bad)
 
     base = tempfile.mkdtemp(prefix="cdc-gate-")
     wal = f"{base}/wal"
-    # chunk_size=50k → inserts / updates / deletes land in separate chunks,
-    # replayed as 3 ordered batches: the update and delete generations merge
-    # against committed table state, not just intra-batch
+    # chunk_size=50k → five ordered batches: inserts / schema event /
+    # updates / deletes / malformed — updates and deletes merge against
+    # committed table state, the schema event evolves it between
+    # generations, and the final batch is quarantine-only
     write_wal(wal_df, wal, chunk_size=50_000)
     eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
     eng.replay(wal)
@@ -1066,6 +1111,7 @@ def cdc_replay_documents(spark, sf_dir):
         "lang",
         "content_sha256",
         F.col("last_seq").cast("long").alias("last_seq"),
+        F.col("quality").cast("double").alias("quality"),
     )
 
 
