@@ -314,12 +314,25 @@ class LakeVault:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if any(f.get("delta") for f in files):
+            # merge-on-read: delta files carry only each batch's winner rows
+            # (incl. tombstones); the read view is LWW per key by last_seq —
+            # one partial-aggregated max_by, the same skew-immune shape as
+            # the write-side merge. Pruning stays correct: base and delta
+            # rows of a key share the same bucket and key-range span, so a
+            # pruned read is a pruned superset merged the same way.
+            # COW tables (no delta entries) never pay this aggregation.
+            from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
+
+            out = lww_dedup(
+                out, list(self.key_cols), ["last_seq", "content_sha256"]
+            )
         return out
 
     # ---- commit ----------------------------------------------------------
 
     def _register_written_files(
-        self, write_dir: str, schema_id: int
+        self, write_dir: str, schema_id: int, delta: bool = False
     ) -> list[dict[str, Any]]:
         """Walk a Spark-written bucket-partitioned directory and produce file
         entries with parquet-footer stats (rows + key min/max) — the manifest
@@ -355,17 +368,18 @@ class LakeVault:
                                 kmax = kmax.decode("utf-8", "replace")
                 except Exception:
                     pass
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.root),
-                        "rows": rows,
-                        "bytes": os.path.getsize(full),
-                        "bucket": bucket,
-                        "schema_id": schema_id,
-                        "min_key": kmin,
-                        "max_key": kmax,
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(full, self.root),
+                    "rows": rows,
+                    "bytes": os.path.getsize(full),
+                    "bucket": bucket,
+                    "schema_id": schema_id,
+                    "min_key": kmin,
+                    "max_key": kmax,
+                }
+                if delta:
+                    entry["delta"] = True  # absent (not False) in COW entries: old snapshots stay readable
+                entries.append(entry)
         return entries
 
     def commit(
@@ -379,6 +393,7 @@ class LakeVault:
         summary: dict[str, Any] | None = None,
         replace_all: bool = False,
         new_n_buckets: int | None = None,
+        delta: bool = False,
     ) -> int:
         """Produce snapshot N+1 = (parent files minus replaced buckets) +
         files under ``add_write_dir``; atomically swap the version pointer.
@@ -405,7 +420,9 @@ class LakeVault:
 
         new_entries: list[dict[str, Any]] = []
         if add_write_dir is not None:
-            new_entries = self._register_written_files(add_write_dir, schema.schema_id)
+            new_entries = self._register_written_files(
+                add_write_dir, schema.schema_id, delta=delta
+            )
 
         new_id = parent.snapshot_id + 1
         parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]

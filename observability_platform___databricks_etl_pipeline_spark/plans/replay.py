@@ -140,10 +140,21 @@ class CDCEngine:
         n_buckets: int = 16,
         with_rollup: bool = True,
         merge_strategy: str | None = None,
+        write_mode: str | None = None,
     ):
         self.spark = spark
         self.root = table_root
         self.with_rollup = with_rollup
+        # 'cow' (default): a batch rewrites its affected buckets in full —
+        # reads stay merge-free, writes pay amplification (measured 1.5-1.8x
+        # on the updates-heavy bench). 'mor' (merge-on-read): a batch
+        # appends ONLY its winner rows (incl. tombstones) as delta files —
+        # write amplification ~1x, reads pay one LWW max_by until compact()
+        # folds deltas back into base files. Same golden-tested semantics;
+        # the classic trade, chosen per table. Env override: CDC_WRITE_MODE.
+        self.write_mode = write_mode or os.environ.get("CDC_WRITE_MODE", "cow")
+        if self.write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {self.write_mode!r}")
         # 'maxby' (default): union → hash-agg max_by per key (2 content
         # shuffles: agg exchange + bucket-write repartition; dup rows collapse
         # map-side). 'bucket_pandas': ONE content shuffle — groupBy(__bucket)
@@ -601,6 +612,14 @@ class CDCEngine:
         # build of the payload)
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
+        if self.write_mode == "mor":
+            # merge-on-read: append ONLY this batch's winner rows (incl.
+            # tombstones) as delta files — carried rows are never rewritten,
+            # so write amplification ~1x. The filter sits AFTER the observe
+            # node: metrics still count carry/stale over the full merged set.
+            out = out.where(
+                F.col("__action").isin("insert", "update", "delete", "delete_noop")
+            )
         # no per-batch sortWithinPartitions: key-clustering for scan locality
         # is compact()'s job (the Z-order analog runs as maintenance, not on
         # the hot path — sorting the whole table every batch bought nothing)
@@ -657,11 +676,14 @@ class CDCEngine:
         new_schema = schema if schema.schema_id != self.vault.snapshot().schema.schema_id else None
         self.vault.commit(
             add_write_dir=wd,
-            replace_buckets=affected,
+            # MOR appends deltas and keeps every parent file; COW swaps the
+            # affected buckets for their rewritten versions
+            replace_buckets=[] if self.write_mode == "mor" else affected,
             batch_id=bid,
             manifest=self._manifest(bid, wal_dir, chunk, offsets, m),
             new_schema=new_schema,
             summary={"operation": "merge", "chunk": chunk},
+            delta=self.write_mode == "mor",
         )
         _t0 = _tick("commit+manifest", _t0)
 

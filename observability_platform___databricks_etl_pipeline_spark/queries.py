@@ -1005,7 +1005,7 @@ def _cdc_replay_oracle() -> str:
 
 
 @_register("cdc_replay_documents", _cdc_replay_oracle())
-def cdc_replay_documents(spark, sf_dir):
+def cdc_replay_documents(spark, sf_dir, write_mode="cow"):
     """THE ENGINE, driver-verified: derive a 5-generation WAL from documents
     (inserts; an add_column('quality') schema event; redactable-tailed
     updates for doc_id%5 carrying props['quality']; deletes for doc_id%17;
@@ -1102,7 +1102,9 @@ def cdc_replay_documents(spark, sf_dir):
     # committed table state, the schema event evolves it between
     # generations, and the final batch is quarantine-only
     write_wal(wal_df, wal, chunk_size=50_000)
-    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
+    eng = CDCEngine(
+        spark, f"{base}/tbl", n_buckets=8, with_rollup=False, write_mode=write_mode
+    )
     eng.replay(wal)
     return eng.current_state().select(
         "repo",
@@ -1113,6 +1115,14 @@ def cdc_replay_documents(spark, sf_dir):
         F.col("last_seq").cast("long").alias("last_seq"),
         F.col("quality").cast("double").alias("quality"),
     )
+
+
+@_register("cdc_replay_documents_mor", _cdc_replay_oracle())
+def cdc_replay_documents_mor(spark, sf_dir):
+    """The flagship WAL replayed under MERGE-ON-READ (delta appends + LWW
+    scan merge, ~1x write amplification) — hash-verified against the same
+    oracle as the COW mode, so both table modes carry the full gate."""
+    return cdc_replay_documents(spark, sf_dir, write_mode="mor")
 
 
 @_register("cdc_engine_final_state", None)
