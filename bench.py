@@ -8,9 +8,10 @@
 Headline queries run against $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the CDC replay benchmark
 generates a deterministic WAL sized to the scale factor (2M events at sf0.1)
-and replays it through the COW engine — generation is untimed (it's input),
-replay is the metric. ``python BENCH/run_scaling.py`` runs this at two
-parallelism levels and writes BENCH/BASELINE.md with scaling efficiency.
+and replays it through the engine — generation is untimed (it's input),
+replay is the metric. CDC_WRITE_MODE=mor benches the merge-on-read mode.
+``python BENCH/run_scaling.py`` runs this at two parallelism levels and
+writes BENCH/BASELINE.md with scaling efficiency.
 """
 
 from __future__ import annotations
@@ -121,6 +122,7 @@ def main() -> None:
             3,
         )
         merge_strategy = eng.merge_strategy
+        write_mode = eng.write_mode
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -137,6 +139,7 @@ def main() -> None:
                 "replay_events_per_sec": round(eps, 1),
                 "replay_write_amplification": write_amp,
                 "replay_merge_strategy": merge_strategy,
+                "replay_write_mode": write_mode,
                 "cpus": CPUS,
             }
         )
