@@ -93,3 +93,26 @@ def test_mor_point_lookup_merges(spark, tmp_path):
     }
     looked = {r["path"]: r["content_sha256"] for r in eng.lookup("org/hot-repo").collect()}
     assert looked == full and looked
+
+
+def test_mor_schema_evolution_across_base_and_delta(spark, tmp_path):
+    """Delta files written under evolved schemas must merge with base files
+    written under earlier ones: scan() re-projects by column id per schema
+    version BEFORE the LWW merge, so renamed columns keep their values and
+    pre-add rows backfill NULL — same contract as COW."""
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 4000, seed=21), wal, chunk_size=800)
+    cow = CDCEngine(spark, str(tmp_path / "cow"), n_buckets=8)
+    cow.replay(wal)
+    mor = CDCEngine(spark, str(tmp_path / "mor"), n_buckets=8, write_mode="mor")
+    mor.replay(wal)
+
+    def full(eng):
+        return {
+            (r["repo"], r["path"]): (r["content_sha256"], r["quality_score"])
+            for r in eng.current_state().collect()
+        }
+
+    assert full(mor) == full(cow)
+    assert "quality_score" in mor.current_state().columns
+    assert mor.current_state().where(F.col("quality_score").isNotNull()).count() > 0
