@@ -1444,3 +1444,71 @@ def doc_incremental_neardup(spark, sf_dir):
         F.col("corpus_id").cast("long"),
         "jaccard",
     )
+
+
+@_register(
+    "doc_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, lang, term, count(*) AS tf FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+      ) WHERE term <> '' GROUP BY 1, 2, 3
+    ),
+    idf AS (
+      SELECT term,
+             (1000000 * ((SELECT count(*) FROM documents) - count(DISTINCT doc_id)))
+               // (SELECT count(*) FROM documents) AS idf_fp
+      FROM tf GROUP BY term
+    ),
+    score AS (
+      SELECT lang, tf.term AS term, CAST(sum(tf * idf_fp) AS BIGINT) AS score
+      FROM tf JOIN idf ON tf.term = idf.term
+      GROUP BY 1, 2
+    )
+    SELECT lang, term, score, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT lang, term, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+      FROM score
+    ) WHERE rn <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    """Corpus analytics: top-3 terms per language by aggregate tf-idf. The
+    idf uses a fixed-point LINEAR surrogate, idf_fp = (1e6·(N−df)) div N —
+    integer-exact in both engines, so the ranking is bit-deterministic
+    (log-idf sums differ in the last ulp across engines and can flip ranks
+    at the cut). Plan shape: one explode → two partial-aggregated groupBys
+    (tf, df) → broadcast-joined idf → per-lang top-k window; the explode
+    fan-out is the only row amplification, and df/idf are term-grain (tiny
+    relative to the corpus at 100 TB)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # O(1) scalar, both engines see the same N
+    terms = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(
+        F.expr(f"div(1000000 * ({n_docs} - count(DISTINCT doc_id)), {n_docs})").alias("idf_fp")
+    )
+    score = (
+        tf.join(idf, "term")
+        .groupBy("lang", "term")
+        .agg(F.sum(F.col("tf") * F.col("idf_fp")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
+    return (
+        score.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("lang", "term", "score", "rn")
+    )
