@@ -54,6 +54,13 @@ SPARK_TYPE = {
     "int": "int",
 }
 
+# Version tag of the bucket function (murmur3 F.hash over raw keys, pmod n).
+# Stamped into table.json at create() and checked before any bucket-scoped
+# operation: a table written under a DIFFERENT bucket function would silently
+# compute wrong affected-bucket sets (carried rows excluded from merges), so
+# mismatch fails loudly with a rebucket instruction instead.
+BUCKET_FN = "murmur3-pmod-v2"
+
 
 @dataclass
 class TableSchema:
@@ -183,7 +190,7 @@ class LakeVault:
         _atomic_write_json(v._snap_path(0), snap.to_json())
         _atomic_write_json(
             os.path.join(v.vault_dir, "table.json"),
-            {"key_cols": list(key_cols), "n_buckets": n_buckets},
+            {"key_cols": list(key_cols), "n_buckets": n_buckets, "bucket_fn": BUCKET_FN},
         )
         _atomic_write_json(os.path.join(v.vault_dir, "version.json"), {"snapshot_id": 0})
         return v
@@ -206,8 +213,12 @@ class LakeVault:
 
     @property
     def table_meta(self) -> dict[str, Any]:
-        with open(os.path.join(self.vault_dir, "table.json")) as f:
-            return json.load(f)
+        # table.json is immutable after create() (bucket count lives in the
+        # snapshot) — cache it; bucket_expr reads it on the hot path.
+        if getattr(self, "_table_meta_cache", None) is None:
+            with open(os.path.join(self.vault_dir, "table.json")) as f:
+                self._table_meta_cache = json.load(f)
+        return self._table_meta_cache
 
     @property
     def key_cols(self) -> list[str]:
@@ -250,6 +261,14 @@ class LakeVault:
         # spark.sql.shuffle.partitions, the output of any groupBy(key_cols)
         # is ALREADY bucket-partitioned, so the engine's bucket write needs
         # no second shuffle (see replay._data_phase).
+        fn = self.table_meta.get("bucket_fn")
+        if fn != BUCKET_FN:
+            raise ValueError(
+                f"table at {self.root} was written with bucket_fn={fn!r}, engine "
+                f"expects {BUCKET_FN!r}: bucket-scoped reads/merges would be "
+                f"silently wrong — rebucket via compact() on the old engine "
+                f"version, or recreate the table"
+            )
         return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
 
     def scan(
@@ -292,13 +311,19 @@ class LakeVault:
             )
             return self.spark.createDataFrame([], schema=ddl)
 
-        by_schema: dict[int, list[str]] = {}
+        need_merge = any(f.get("delta") for f in files)
+        # Group files by (schema_id, commit ordinal). The ordinal (the
+        # snapshot id that ADDED the file) only matters when a merge-on-read
+        # LWW pass runs — it is the canonical tiebreak (see below) — so COW
+        # scans keep one group per schema version (no plan bloat). The group
+        # count on MOR reads is bounded by the auto-compact policy (deltas
+        # per bucket capped), so the union stays small.
+        by_group: dict[tuple[int, int], list[str]] = {}
         for f in files:
-            by_schema.setdefault(f["schema_id"], []).append(
-                os.path.join(self.root, f["path"])
-            )
+            key = (f["schema_id"], f.get("ord", 0) if need_merge else 0)
+            by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
         parts: list[DataFrame] = []
-        for sid, paths in sorted(by_schema.items()):
+        for (sid, ordv), paths in sorted(by_group.items()):
             old = snap.schemas[sid]
             old_by_id = {c["id"]: c for c in old.columns}
             df = self.spark.read.parquet(*paths)
@@ -310,23 +335,34 @@ class LakeVault:
                     sel.append(F.lit(None).cast(typ).alias(c["name"]))
                 else:
                     sel.append(F.col(oc["name"]).cast(typ).alias(c["name"]))
+            if need_merge:
+                sel.append(F.lit(ordv).alias("__ord"))
             parts.append(df.select(*sel))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if any(f.get("delta") for f in files):
+        if need_merge:
             # merge-on-read: delta files carry only each batch's winner rows
-            # (incl. tombstones); the read view is LWW per key by last_seq —
-            # one partial-aggregated max_by, the same skew-immune shape as
-            # the write-side merge. Pruning stays correct: base and delta
-            # rows of a key share the same bucket and key-range span, so a
-            # pruned read is a pruned superset merged the same way.
-            # COW tables (no delta entries) never pay this aggregation.
+            # (incl. tombstones); the read view is LWW per key — one
+            # partial-aggregated max_by, the same skew-immune shape as the
+            # write-side merge. CANONICAL ORDER: (last_seq, __ord) where
+            # __ord is the commit ordinal — on a duplicate seq spanning
+            # commits the LATER commit wins, exactly matching the write-side
+            # rule "batch beats table at equal seq" (max_by over
+            # (last_seq, __src, ...) in replay._merge_maxby), so MOR scans,
+            # COW materialization and compact() all converge on the same
+            # winner. Within one commit a key appears at most once (each
+            # delta file holds one merged winner per key), so the
+            # content_sha256 tail is a deterministic safety net only.
+            # Pruning stays correct: base and delta rows of a key share the
+            # same bucket and key-range span, so a pruned read is a pruned
+            # superset merged the same way. COW tables (no delta entries)
+            # never pay this aggregation.
             from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
 
             out = lww_dedup(
-                out, list(self.key_cols), ["last_seq", "content_sha256"]
-            )
+                out, list(self.key_cols), ["last_seq", "__ord", "content_sha256"]
+            ).drop("__ord")
         return out
 
     # ---- commit ----------------------------------------------------------
@@ -418,13 +454,17 @@ class LakeVault:
         else:
             kept = list(parent.files)
 
+        new_id = parent.snapshot_id + 1
         new_entries: list[dict[str, Any]] = []
         if add_write_dir is not None:
             new_entries = self._register_written_files(
                 add_write_dir, schema.schema_id, delta=delta
             )
-
-        new_id = parent.snapshot_id + 1
+            for e in new_entries:
+                # commit ordinal: the snapshot that added the file — the
+                # canonical LWW tiebreak on merge-on-read scans (later
+                # commit wins at equal last_seq, matching the write side)
+                e["ord"] = new_id
         parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]
         snap = Snapshot(
             snapshot_id=new_id,
@@ -466,8 +506,13 @@ class LakeVault:
 
     # ---- maintenance (OPTIMIZE / VACUUM analogs) --------------------------
 
-    def compact(self, target_file_rows: int = 2_000_000, n_buckets: int | None = None) -> int:
-        """Bin-pack + KEY-CLUSTER the table into a new snapshot.
+    def compact(
+        self,
+        target_file_rows: int = 2_000_000,
+        n_buckets: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> int:
+        """Bin-pack + KEY-CLUSTER data files into a new snapshot.
 
         Rows are range-partitioned on the key columns (so each task holds a
         contiguous key span) and still written ``partitionBy(__bucket)`` —
@@ -476,15 +521,52 @@ class LakeVault:
         prune effectively. Reference analog: ``OPTIMIZE`` + ``ZORDER``
         (``01:255-262``) as a maintenance job, not on the hot path.
 
+        ``buckets`` makes the compaction INCREMENTAL: only those buckets'
+        files are read (their MOR deltas folded via the scan merge), rewritten
+        and swapped via ``commit(replace_buckets=...)`` — the rest of the
+        table is untouched metadata. This is the regular maintenance shape at
+        scale (the reference's ``OPTIMIZE`` bin-packs only small files for
+        the same reason): cost is O(selected buckets), never O(table). The
+        full-table path (``buckets=None``) remains for explicit rebucketing
+        and global re-clustering.
+
         ``n_buckets`` re-buckets the table (COW write-amplification lever: a
         table that grew 100× wants proportionally more buckets so a batch
-        rewrites a smaller fraction). The new count is recorded IN the
-        committed snapshot — atomic with the data; bucket-scoped reads of
-        PRE-rebucket snapshots are no longer meaningful (full scans of them
-        still are)."""
+        rewrites a smaller fraction). Re-bucketing moves rows ACROSS buckets,
+        so it requires the full-table path (``buckets`` must be None). The
+        new count is recorded IN the committed snapshot — atomic with the
+        data; bucket-scoped reads of PRE-rebucket snapshots are no longer
+        meaningful (full scans of them still are)."""
         snap = self.snapshot()
         if not snap.files:
             return snap.snapshot_id
+        if buckets is not None:
+            if n_buckets is not None and n_buckets != self.n_buckets:
+                raise ValueError(
+                    "re-bucketing moves rows across buckets — it requires a "
+                    "full-table compact (buckets=None)"
+                )
+            bset = sorted(set(buckets))
+            sel = [f for f in snap.files if f["bucket"] in set(bset)]
+            if not sel:
+                return snap.snapshot_id
+            df = self.scan(buckets=bset)  # folds these buckets' deltas (LWW)
+            n_out = max(1, int(sum(f["rows"] for f in sel) // target_file_rows + 1))
+            wd = self.new_write_dir("compact")
+            (
+                df.withColumn("__bucket", self.bucket_expr())
+                .repartitionByRange(n_out, *self.key_cols)
+                .sortWithinPartitions(*self.key_cols)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(wd)
+            )
+            return self.commit(
+                add_write_dir=wd,
+                replace_buckets=bset,
+                batch_id=None,
+                summary={"operation": "compact", "buckets": bset},
+            )
         nb = n_buckets if n_buckets is not None else self.n_buckets
         bucket = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(nb))
         df = self.scan()

@@ -141,10 +141,22 @@ class CDCEngine:
         with_rollup: bool = True,
         merge_strategy: str | None = None,
         write_mode: str | None = None,
+        mor_compact_threshold: int | None = None,
     ):
         self.spark = spark
         self.root = table_root
         self.with_rollup = with_rollup
+        # MOR auto-compact policy: after a commit, any bucket holding more
+        # than this many DELTA files is folded back into base files via a
+        # bucket-scoped compact() — so read-side merge cost stays bounded
+        # without operator intervention, and the compaction itself is
+        # O(selected buckets), never O(table). 0 disables. Env override:
+        # CDC_MOR_COMPACT_THRESHOLD.
+        self.mor_compact_threshold = (
+            mor_compact_threshold
+            if mor_compact_threshold is not None
+            else int(os.environ.get("CDC_MOR_COMPACT_THRESHOLD", "8"))
+        )
         # 'cow' (default): a batch rewrites its affected buckets in full —
         # reads stay merge-free, writes pay amplification (measured 1.5-1.8x
         # on the updates-heavy bench). 'mor' (merge-on-read): a batch
@@ -686,6 +698,22 @@ class CDCEngine:
             delta=self.write_mode == "mor",
         )
         _t0 = _tick("commit+manifest", _t0)
+
+        if self.write_mode == "mor" and self.mor_compact_threshold > 0:
+            # auto-compact: fold any bucket whose delta-file pile crossed the
+            # threshold back into base files. Bucket-scoped — reads/rewrites
+            # ONLY those buckets — so amortized maintenance cost stays
+            # proportional to churn, and scan()'s per-commit union-group
+            # count stays bounded. Crash-safe: the compact is its own
+            # commit; a crash before it just re-triggers on the next batch.
+            per_bucket: dict[int, int] = {}
+            for f in self.vault.snapshot().files:
+                if f.get("delta"):
+                    per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+            over = sorted(b for b, n in per_bucket.items() if n > self.mor_compact_threshold)
+            if over:
+                self.vault.compact(buckets=over)
+                _t0 = _tick(f"auto-compact {len(over)} buckets", _t0)
 
         return m
 

@@ -1095,26 +1095,34 @@ def cdc_replay_documents(spark, sf_dir, write_mode="cow"):
     )
     wal_df = ins.unionByName(upd).unionByName(dele).unionByName(schema_ev).unionByName(bad)
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="cdc-gate-")
-    wal = f"{base}/wal"
-    # chunk_size=50k → five ordered batches: inserts / schema event /
-    # updates / deletes / malformed — updates and deletes merge against
-    # committed table state, the schema event evolves it between
-    # generations, and the final batch is quarantine-only
-    write_wal(wal_df, wal, chunk_size=50_000)
-    eng = CDCEngine(
-        spark, f"{base}/tbl", n_buckets=8, with_rollup=False, write_mode=write_mode
-    )
-    eng.replay(wal)
-    return eng.current_state().select(
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        "content_sha256",
-        F.col("last_seq").cast("long").alias("last_seq"),
-        F.col("quality").cast("double").alias("quality"),
-    )
+    try:
+        wal = f"{base}/wal"
+        # chunk_size=50k → five ordered batches: inserts / schema event /
+        # updates / deletes / malformed — updates and deletes merge against
+        # committed table state, the schema event evolves it between
+        # generations, and the final batch is quarantine-only
+        write_wal(wal_df, wal, chunk_size=50_000)
+        eng = CDCEngine(
+            spark, f"{base}/tbl", n_buckets=8, with_rollup=False, write_mode=write_mode
+        )
+        eng.replay(wal)
+        out = eng.current_state().select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content_sha256",
+            F.col("last_seq").cast("long").alias("last_seq"),
+            F.col("quality").cast("double").alias("quality"),
+        )
+        # materialize, then remove the staging WAL + table: repeated gate or
+        # bench runs must not leak a replayed table per invocation
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @_register("cdc_replay_documents_mor", _cdc_replay_oracle())
@@ -1125,32 +1133,101 @@ def cdc_replay_documents_mor(spark, sf_dir):
     return cdc_replay_documents(spark, sf_dir, write_mode="mor")
 
 
-@_register("cdc_engine_final_state", None)
+# The generated WAL is written to a FIXED path so the DuckDB oracle — a
+# static SQL string — can replay the same parquet files the engine consumed.
+# Content is deterministic (gen/changelog.py: every column a pure function of
+# the row id); the write is mode("overwrite"), so reruns replace in place —
+# fixed-size, never an unbounded leak.
+_ENTRY_WAL = "/tmp/cdc-gate-entry-wal-4000-s42/wal"
+
+
+def _final_state_oracle() -> str:
+    """DuckDB replay of the engine-generated WAL: quarantine filter →
+    op-classify fallback → arg_max LWW per (repo, path) → sanitize chain →
+    lang inference (extension map) → per-lang rollup. Every declared engine
+    semantic (plans/replay.py module docstring) is SQL-expressible; this was
+    the last rows-only gate entry (VERDICT r2 #2)."""
+    from observability_platform___databricks_etl_pipeline_spark.functions.langinfer import EXT_LANG
+
+    ext = "lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1))"
+    ext_case = (
+        "CASE "
+        + " ".join(f"WHEN {ext} = '{k}' THEN '{v}'" for k, v in EXT_LANG.items())
+        + " ELSE 'unknown' END"
+    )
+    san = _sanitize_sql_duckdb("content0")
+    return f"""
+    WITH raw AS (
+      SELECT seq, repo, path, "commit" AS cmt, op, lang, content
+      FROM read_parquet('{_ENTRY_WAL}/chunk=*/*.parquet', hive_partitioning=true)
+    ),
+    ev AS (
+      -- engine quarantine: any null identity field is malformed; schema
+      -- events (add/rename_column) are metadata, not data rows
+      SELECT *,
+             coalesce(lower(trim(op)),
+                      CASE WHEN content IS NULL THEN 'delete' ELSE 'update' END) AS cop
+      FROM raw
+      WHERE seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL AND cmt IS NOT NULL
+        AND (op IS NULL OR op NOT IN ('add_column', 'rename_column'))
+    ),
+    w AS (
+      -- LWW winner per key: seqs are globally unique in this WAL, so the
+      -- engine's per-batch max_by composition reduces to one global arg_max
+      SELECT repo, path,
+             arg_max(cop, seq) AS fop,
+             nullif(arg_max(coalesce(lang, '__null__'), seq), '__null__') AS lang0,
+             arg_max(coalesce(content, ''), seq) AS content0
+      FROM ev GROUP BY repo, path
+    ),
+    live AS (
+      SELECT repo,
+             coalesce(lang0, {ext_case}) AS lang,
+             {san} AS content_s
+      FROM w WHERE fop <> 'delete'
+    )
+    SELECT lang, count(*) AS files,
+           CAST(count(DISTINCT repo) AS BIGINT) AS repos,
+           CAST(sum(length(content_s)) AS BIGINT) AS bytes
+    FROM live GROUP BY lang
+    """
+
+
+@_register("cdc_engine_final_state", _final_state_oracle())
 def cdc_engine_final_state(spark, sf_dir):
-    """The flagship: full CDC replay of a deterministic WAL through the COW
-    engine; returns the final-state rollup. Oracle-free here because the WAL
-    is engine-generated; full-replay sha256 equality vs a sequential oracle is
-    asserted in tests/test_replay_e2e.py."""
+    """The flagship on the ENGINE-GENERATED WAL (duplicate events, LWW races,
+    out-of-order seqs, malformed rows, schema evolution, redactable tokens —
+    gen/changelog.py): full CDC replay through the COW engine, final state
+    rolled up per lang. The oracle replays the same WAL parquet in DuckDB
+    (quarantine + classify fallback + arg_max LWW + sanitize + lang
+    inference), closing the last rows-only gate entry."""
+    import shutil
     import tempfile
 
     from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
     from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
 
+    write_wal(generate_changelog(spark, 4000, seed=42), _ENTRY_WAL, chunk_size=2000)
     base = tempfile.mkdtemp(prefix="cdc-entry-")
-    wal = f"{base}/wal"
-    write_wal(generate_changelog(spark, 4000, seed=42), wal, chunk_size=2000)
-    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
-    eng.replay(wal)
-    return (
-        eng.current_state()
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("files"),
-            F.countDistinct("repo").alias("repos"),
-            F.sum(F.length("content")).alias("bytes"),
+    try:
+        eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
+        eng.replay(_ENTRY_WAL)
+        out = (
+            eng.current_state()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.countDistinct("repo").alias("repos"),
+                F.sum(F.length("content")).alias("bytes"),
+            )
+            .orderBy(F.col("files").desc(), "lang")
         )
-        .orderBy(F.col("files").desc(), "lang")
-    )
+        # materialize before the table directory is removed (the caller
+        # collects AFTER this returns); localCheckpoint pins the rows in
+        # block storage so the staging table never leaks disk across runs
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ===========================================================================
@@ -1291,7 +1368,7 @@ def _stream_tmp(prefix: str):
     import tempfile
 
     base = tempfile.mkdtemp(prefix=prefix)
-    return f"{base}/in", f"{base}/out", f"{base}/cp"
+    return base, f"{base}/in", f"{base}/out", f"{base}/cp"
 
 
 @_register(
@@ -1307,16 +1384,22 @@ def stream_windowed_rollup(spark, sf_dir):
     against the equivalent batch SQL: sentinel rows advance the watermark
     past every real event, so append mode emits the complete finalized
     window set exactly once. See streaming/analytics.py."""
+    import shutil
+
     from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
 
-    stage, out, cp = _stream_tmp("stream-rollup-")
-    analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
-    analytics.windowed_rollup_stream(spark, stage, out, cp)
-    return (
-        spark.read.parquet(out)
-        .where(F.col("event_type") != analytics.SENTINEL_TYPE)
-        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
-    )
+    base, stage, out, cp = _stream_tmp("stream-rollup-")
+    try:
+        analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
+        analytics.windowed_rollup_stream(spark, stage, out, cp)
+        res = (
+            spark.read.parquet(out)
+            .where(F.col("event_type") != analytics.SENTINEL_TYPE)
+            .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
+        )
+        return res.localCheckpoint(eager=True)  # staged stream dir removed below
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @_register(
@@ -1344,12 +1427,18 @@ def stream_sessionize(spark, sf_dir):
     lag-gap SQL: per-user event buffers close sessions incrementally as the
     watermark passes them; sentinels flush the tail. Buffering is exact
     under out-of-order arrival within the watermark."""
+    import shutil
+
     from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
 
-    stage, out, cp = _stream_tmp("stream-sess-")
-    analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
-    analytics.sessionize_stream(spark, stage, out, cp)
-    return spark.read.parquet(out).where(F.col("user_id") != analytics.SENTINEL_USER)
+    base, stage, out, cp = _stream_tmp("stream-sess-")
+    try:
+        analytics.stage_ordered_events(spark, _t(spark, sf_dir, "events"), stage)
+        analytics.sessionize_stream(spark, stage, out, cp)
+        res = spark.read.parquet(out).where(F.col("user_id") != analytics.SENTINEL_USER)
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 _SAMPLE_RATES = {"en": 0.25, "zh": 1.0}
@@ -1402,18 +1491,24 @@ def stream_dedup(spark, sf_dir):
     of every 7th event; the deduped stream must equal the original table
     exactly. First-occurrence ambiguity is moot because duplicates are
     bit-identical rows."""
+    import shutil
+
     from observability_platform___databricks_etl_pipeline_spark.streaming import analytics
 
-    stage, out, cp = _stream_tmp("stream-dedup-")
-    ev = _t(spark, sf_dir, "events")
-    dups = ev.where(F.col("event_id") % 7 == 0)
-    analytics.stage_ordered_events(spark, ev.unionByName(dups).unionByName(dups), stage)
-    analytics.dedup_stream(spark, stage, out, cp)
-    return (
-        spark.read.parquet(out)
-        .where(F.col("user_id") != analytics.SENTINEL_USER)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-    )
+    base, stage, out, cp = _stream_tmp("stream-dedup-")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        dups = ev.where(F.col("event_id") % 7 == 0)
+        analytics.stage_ordered_events(spark, ev.unionByName(dups).unionByName(dups), stage)
+        analytics.dedup_stream(spark, stage, out, cp)
+        res = (
+            spark.read.parquet(out)
+            .where(F.col("user_id") != analytics.SENTINEL_USER)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @_register(
