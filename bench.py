@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -85,11 +86,20 @@ def main() -> None:
 
     from observability_platform___databricks_etl_pipeline_spark.queries import QUERIES
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Per-query MEDIAN over N trials (round-2 verdict: single trials made a
+    # +20-40% drift on pure-JVM queries unfalsifiable against ±10-25%
+    # noisy-neighbor session noise). Trial 1 of each query additionally pays
+    # its codegen/broadcast warmup, which the median discounts.
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    per_trial: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(trials):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _materialize(QUERIES[name](spark, SF_DIR))
+            per_trial[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {
+        name: round(statistics.median(ts), 3) for name, ts in per_trial.items()
+    }
 
     # --- CDC replay throughput (the BASELINE.json metric) -----------------
     from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
@@ -140,6 +150,10 @@ def main() -> None:
                 "replay_write_amplification": write_amp,
                 "replay_merge_strategy": merge_strategy,
                 "replay_write_mode": write_mode,
+                "trials": trials,
+                "query_min_sec": {
+                    name: round(min(ts), 3) for name, ts in per_trial.items()
+                },
                 "cpus": CPUS,
             }
         )

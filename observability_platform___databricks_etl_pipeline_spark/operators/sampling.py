@@ -26,10 +26,17 @@ from pyspark.sql import functions as F
 from observability_platform___databricks_etl_pipeline_spark.operators.dedup import MD5LONG_SQL, md5long
 
 _MOD = 1_000_000
+# NULL strata/ids coalesce to an explicit sentinel IDENTICALLY on both
+# engines: concat_ws silently DROPS null args while DuckDB's concat treats
+# NULL as '' — without the sentinel the two engines would draw differently
+# on null keys (round-2 ADVICE).
+_NULL_SENTINEL = "~~null~~"
 
 
 def _draw(strata_col: Column, id_col: Column) -> Column:
-    return F.pmod(md5long(F.concat_ws(":", strata_col, id_col)), F.lit(_MOD))
+    s = F.coalesce(strata_col.cast("string"), F.lit(_NULL_SENTINEL))
+    i = F.coalesce(id_col.cast("string"), F.lit(_NULL_SENTINEL))
+    return F.pmod(md5long(F.concat_ws(":", s, i)), F.lit(_MOD))
 
 
 def stratified_sample(
@@ -51,9 +58,16 @@ def stratified_sample(
 def stratified_sample_sql(
     strata_col: str, rates: dict[str, float], default_rate: float, id_col: str
 ) -> str:
-    """The identical keep-predicate as ANSI SQL (DuckDB oracle mirror)."""
+    """The identical keep-predicate as ANSI SQL (DuckDB oracle mirror).
+    Stratum literals are single-quote-escaped so a quote inside a stratum
+    value can't break (or inject into) the oracle SQL."""
     case = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {v}" for k, v in sorted(rates.items())
+        f"WHEN {strata_col} = '{k.replace(chr(39), chr(39) * 2)}' THEN {v}"
+        for k, v in sorted(rates.items())
     )
-    draw = MD5LONG_SQL.format(x=f"concat({strata_col}, ':', {id_col})")
+    key = (
+        f"concat(coalesce(CAST({strata_col} AS VARCHAR), '{_NULL_SENTINEL}'), ':', "
+        f"coalesce(CAST({id_col} AS VARCHAR), '{_NULL_SENTINEL}'))"
+    )
+    draw = MD5LONG_SQL.format(x=key)
     return f"(({draw}) % {_MOD} + {_MOD}) % {_MOD} < (CASE {case} ELSE {default_rate} END) * {_MOD}"

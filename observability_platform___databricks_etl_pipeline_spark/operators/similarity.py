@@ -272,13 +272,20 @@ def embedding_neardup_pairs(
     multiply the miss probabilities. Never a cross join; shuffle keys are
     (table, bucket) so hot buckets spread across tables.
 
-    Cost shape: candidate generation carries only (id, table, bucket) — no
-    vectors — so the self-join + DISTINCT dedupe shuffles 16 bytes/pair. The
-    exact cosine (an interpreted array fold — the per-pair CPU cost here) is
-    evaluated ONCE per distinct pair after joining the slim (id, v, norm)
-    table back per side, with norms precomputed per ROW instead of re-folded
-    per pair (the round-1 shape folded 3 arrays per candidate × a duplicate
-    per matching table)."""
+    Cost shape: bucket assignment for ALL tables is ONE Arrow-batched numpy
+    matmul per batch (``(tables × planes, dim) @ (dim, batch)`` — the BLAS
+    path; the round-2 shape built an 18-plane × 64-literal Catalyst tree
+    whose analysis+codegen dominated wall-clock at small corpora and whose
+    expression size grows with dim × planes — at 100 TB this bucket column
+    is a write-time index either way). Candidate generation carries only
+    (id, table, bucket) — no vectors — so the self-join + DISTINCT dedupe
+    shuffles 16 bytes/pair. The exact cosine is evaluated ONCE per distinct
+    pair after joining the slim (id, v, norm) table back per side, with the
+    dim-unrolled codegen dot (bit-identical IEEE fold order — the
+    brute-force oracle keeps matching) and norms precomputed per ROW."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(dim_probe[0]["d"]) if dim_probe else 0
     v = F.col(vec_col).cast("array<double>")
@@ -288,20 +295,19 @@ def embedding_neardup_pairs(
         v.alias("v"),
         F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
     )
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                rhp_bucket_expr(F.col("v"), _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
-                    "bk"
-                ),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    b = corpus.select("id", F.explode(tables).alias("tb")).select(
-        "id", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
-    )
+    planes_all = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bucket_ids(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0  # (batch, T, P)
+        return pd.Series(list(signs @ weights))  # (batch, T) sign-pattern ids
+
+    # posexplode: pos IS the table index — no struct array needed
+    b = corpus.select("id", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk"))
     cand = (
         b.alias("l")
         .join(b.alias("r"), ["t", "bk"])

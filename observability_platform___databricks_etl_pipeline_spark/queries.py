@@ -1375,7 +1375,8 @@ def _stream_tmp(prefix: str):
     "stream_windowed_rollup",
     """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_value
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1395,7 +1396,9 @@ def stream_windowed_rollup(spark, sf_dir):
         res = (
             spark.read.parquet(out)
             .where(F.col("event_type") != analytics.SENTINEL_TYPE)
-            .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
+            .select(
+                "window_start", "event_type", F.col("n").cast("long").alias("n"), "sum_value_fp"
+            )
         )
         return res.localCheckpoint(eager=True)  # staged stream dir removed below
     finally:
@@ -1417,7 +1420,8 @@ def stream_windowed_rollup(spark, sf_dir):
                                 ROWS UNBOUNDED PRECEDING) AS sid
           FROM g)
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-           CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
     FROM s GROUP BY user_id, sid
     """,
 )

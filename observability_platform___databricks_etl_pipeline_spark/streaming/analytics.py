@@ -26,6 +26,7 @@ therefore O(events within the last watermark-delay + gap), not O(stream).
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 
@@ -134,9 +135,15 @@ def windowed_rollup_stream(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # FIXED-POINT sum: floor(value·1e4) is an exact long per row
+            # (IEEE double multiply + floor are engine-identical), and a sum
+            # of longs is associative — so the result is independent of
+            # partial-agg order, scan order, and engine, where a rounded
+            # double sum can flip its last decimal under re-association
+            # (round-2 ADVICE: the hash gate must not be float-order flaky).
+            F.sum(F.floor(F.col("value") * 10000)).alias("sum_value_fp"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_fp")
     )
     q = (
         agg.writeStream.format("parquet")
@@ -176,7 +183,7 @@ def sessionize_stream(
 
     out_type = (
         "user_id long, session_start timestamp, session_end timestamp,"
-        " n_events long, sum_value double"
+        " n_events long, sum_value_fp long"
     )
     state_type = "ts array<long>, val array<double>"
     gap_ns = int(gap_s) * 1_000_000_000
@@ -229,7 +236,13 @@ def sessionize_stream(
                     "session_start": [pd.Timestamp(ts[a], unit="ns") for a, _ in closed],
                     "session_end": [pd.Timestamp(ts[b], unit="ns") for _, b in closed],
                     "n_events": [b - a + 1 for a, b in closed],
-                    "sum_value": [float(round(sum(val[a : b + 1]), 4)) for a, b in closed],
+                    # fixed-point: floor(v·1e4) per row then integer sum —
+                    # order-independent and exact, so the hash gate can't be
+                    # flipped by float re-association (see windowed rollup)
+                    "sum_value_fp": [
+                        sum(int(math.floor(v * 10000)) for v in val[a : b + 1])
+                        for a, b in closed
+                    ],
                 }
             )
 

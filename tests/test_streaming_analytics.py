@@ -44,15 +44,18 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
     windowed_rollup_stream(spark, stage, out, cp)
 
     got = {
-        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value_fp"])
         for r in spark.read.parquet(out).where(F.col("event_type") != SENTINEL_TYPE).collect()
     }
     want = {
-        (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value_fp"])
         for r in df.groupBy(
             F.window("ts", "10 minutes").start.alias("ws"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000)).alias("sum_value_fp"),
+        )
         .collect()
     }
     assert got == want and len(got) > 10
@@ -113,13 +116,13 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
 
     sessionize_stream(spark, stage, out, cp, max_files_per_trigger=1)
     got = sorted(
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value_fp"])
         for r in spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER).collect()
     )
     assert got == [
-        (1, T0, T0 + dt.timedelta(minutes=20), 3, 3.0),
-        (2, T0, T0 + dt.timedelta(minutes=5), 2, 2.0),
-        (2, T0 + dt.timedelta(minutes=45), T0 + dt.timedelta(minutes=45), 1, 7.0),
+        (1, T0, T0 + dt.timedelta(minutes=20), 3, 30000),
+        (2, T0, T0 + dt.timedelta(minutes=5), 2, 20000),
+        (2, T0 + dt.timedelta(minutes=45), T0 + dt.timedelta(minutes=45), 1, 70000),
     ]
 
 
@@ -131,7 +134,7 @@ def test_sessionize_stream_matches_batch_on_events_table(spark, sf_dir, tmp_path
     stage_ordered_events(spark, ev, stage)
     sessionize_stream(spark, stage, out, cp)
     got = {
-        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value_fp"])
         for r in spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER).collect()
     }
 
@@ -147,7 +150,7 @@ def test_sessionize_stream_matches_batch_on_events_table(spark, sf_dir, tmp_path
             F.min("ts").alias("start"),
             F.max("ts").alias("end"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sv"),
+            F.sum(F.floor(F.col("value") * 10000)).alias("sv"),
         )
     )
     want = {(r["user_id"], r["start"]): (r["end"], r["n"], r["sv"]) for r in sess.collect()}
