@@ -16,20 +16,28 @@ Layout::
     root/
       _vault/version.json              atomic pointer {"snapshot_id": N}
       _vault/snapshots/snap-<N>.json   immutable snapshot metadata
-      _vault/manifests/<batch_id>.json idempotent commit manifests
+                                       (refs only — O(manifests), not O(files))
+      _vault/filelists/fl-<N>-b<B>.json file-entry manifests, one per
+                                       (commit, bucket) — the Iceberg
+                                       manifest-list idea
+      _vault/batchlog/seg-<K>.json     append-only exactly-once batch ids;
+                                       snapshots record (path, prefix len)
+      _vault/manifests/<batch_id>.json idempotent commit manifests (lineage)
       data/<file>.parquet              data files (bucketed by key hash)
 
 Atomicity: every metadata write is write-temp-then-``os.replace`` — atomic on
 POSIX local/NFS filesystems. (On S3-style object stores this pointer swap
 would go through a catalog/CAS service; documented limitation, same protocol.)
 
-Scale notes (100 TB): snapshots list data files with per-file row counts and
+Scale notes (100 TB): manifests list data files with per-file row counts and
 key min/max, so a merge prunes to affected buckets without listing the
-filesystem; ``committed_batches`` is carried in the snapshot for O(1) replay
-idempotency checks (at 10^10 events / 10^4 batches this is a ~1 MB list; a
-real deployment would roll it into a bloom-filtered manifest file — noted,
-not needed at sandbox scale). Column identity is by **column id**, not name,
-so renames are metadata-only (no data rewrite) exactly like Iceberg.
+filesystem — and because manifests are per-(commit, bucket), a commit writes
+O(affected buckets) metadata regardless of table size: untouched buckets'
+manifests are carried BY REFERENCE, and batch ids append to a ≤4096-id tail
+segment instead of re-serializing the history (test:
+``test_commit_metadata_cost_flat_in_table_size``). Column identity is by
+**column id**, not name, so renames are metadata-only (no data rewrite)
+exactly like Iceberg.
 """
 
 from __future__ import annotations
@@ -104,19 +112,62 @@ class TableSchema:
 
 @dataclass
 class Snapshot:
+    """Snapshot metadata. The snapshot JSON is O(manifests + batch-log
+    segments), NOT O(files + batches): file entries live in per-(bucket,
+    commit) MANIFEST files referenced by ``manifest_refs`` (Iceberg's
+    manifest-list idea), and the exactly-once batch ids live in append-only
+    BATCH-LOG segment files of which the snapshot records (path, prefix
+    length). A commit therefore writes: its own new manifests (one per
+    affected bucket), one batch-log segment tail, and a snapshot whose size
+    is proportional to the number of LIVE manifests — it never re-serializes
+    the full file list or batch history (round-2 verdict #8: at 10^6 files /
+    10^4 batches the old inline snapshot was itself the bottleneck)."""
+
     snapshot_id: int
     parent_id: int | None
     schema: TableSchema
     # every schema version ever committed, keyed by schema_id — needed to
     # read data files written under older schemas (rename by column id)
     schemas: dict[int, TableSchema]
-    files: list[dict[str, Any]]  # {"path","rows","bucket","schema_id","min_key","max_key"}
-    committed_batches: list[str] = field(default_factory=list)
+    # [{"path","bucket","n_files","rows","bytes","delta"}] — path relative
+    # to the _vault dir; bucket is the single bucket the manifest covers
+    # (None only for legacy/unknown groupings)
+    manifest_refs: list[dict[str, Any]] = field(default_factory=list)
+    # [{"path","n"}] append-only id segments; this snapshot owns the first
+    # n ids of each segment (a crashed successor commit may have appended
+    # more — invisible until ITS snapshot publishes)
+    batch_log: list[dict[str, Any]] = field(default_factory=list)
     summary: dict[str, Any] = field(default_factory=dict)
     # bucket count is SNAPSHOT state (not table.json) so a re-bucketing
     # compact() is atomic with its commit: a crash in between can never leave
     # merges computing affected-bucket sets under the wrong bucket function
     n_buckets: int | None = None
+    # runtime-only (never serialized): vault dir for lazy manifest loads,
+    # plus caches. _files_cache doubles as the storage for legacy snapshots
+    # whose file list was inline (pre-manifest format).
+    vault_dir: str | None = None
+    _files_cache: list[dict[str, Any]] | None = None
+    _batches_cache: list[str] | None = None
+
+    @property
+    def files(self) -> list[dict[str, Any]]:
+        if self._files_cache is None:
+            out: list[dict[str, Any]] = []
+            for ref in self.manifest_refs:
+                with open(os.path.join(self.vault_dir, ref["path"])) as f:
+                    out.extend(json.load(f)["files"])
+            self._files_cache = out
+        return self._files_cache
+
+    @property
+    def committed_batches(self) -> list[str]:
+        if self._batches_cache is None:
+            ids: list[str] = []
+            for seg in self.batch_log:
+                with open(os.path.join(self.vault_dir, seg["path"])) as f:
+                    ids.extend(json.load(f)["ids"][: seg["n"]])
+            self._batches_cache = ids
+        return self._batches_cache
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -124,24 +175,35 @@ class Snapshot:
             "parent_id": self.parent_id,
             "schema": self.schema.to_json(),
             "schemas": {str(k): v.to_json() for k, v in self.schemas.items()},
-            "files": self.files,
-            "committed_batches": self.committed_batches,
+            "manifest_refs": self.manifest_refs,
+            "batch_log": self.batch_log,
             "summary": self.summary,
             "n_buckets": self.n_buckets,
         }
 
     @staticmethod
-    def from_json(d: dict[str, Any]) -> "Snapshot":
-        return Snapshot(
+    def from_json(d: dict[str, Any], vault_dir: str | None = None) -> "Snapshot":
+        snap = Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
             schema=TableSchema.from_json(d["schema"]),
             schemas={int(k): TableSchema.from_json(v) for k, v in d["schemas"].items()},
-            files=d["files"],
-            committed_batches=d.get("committed_batches", []),
+            manifest_refs=d.get("manifest_refs", []),
+            batch_log=d.get("batch_log", []),
             summary=d.get("summary", {}),
             n_buckets=d.get("n_buckets"),
+            vault_dir=vault_dir,
         )
+        # legacy inline format (pre-manifest): serve the lists from the
+        # snapshot itself; the next commit migrates them into manifests
+        if "files" in d:
+            snap._files_cache = d["files"]
+        if "committed_batches" in d:
+            snap._batches_cache = d["committed_batches"]
+        return snap
+
+    def is_legacy(self) -> bool:
+        return not self.manifest_refs and self._files_cache is not None and bool(self._files_cache)
 
 
 def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
@@ -175,6 +237,8 @@ class LakeVault:
         v = LakeVault(spark, root)
         os.makedirs(os.path.join(v.vault_dir, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(v.vault_dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(v.vault_dir, "filelists"), exist_ok=True)
+        os.makedirs(os.path.join(v.vault_dir, "batchlog"), exist_ok=True)
         os.makedirs(v.data_dir, exist_ok=True)
         schema = TableSchema.from_names(columns)
         snap = Snapshot(
@@ -182,10 +246,9 @@ class LakeVault:
             parent_id=None,
             schema=schema,
             schemas={0: schema},
-            files=[],
-            committed_batches=[],
             summary={"operation": "create"},
             n_buckets=n_buckets,
+            vault_dir=v.vault_dir,
         )
         _atomic_write_json(v._snap_path(0), snap.to_json())
         _atomic_write_json(
@@ -236,7 +299,7 @@ class LakeVault:
     def snapshot(self, sid: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if sid is None else sid
         with open(self._snap_path(sid)) as f:
-            return Snapshot.from_json(json.load(f))
+            return Snapshot.from_json(json.load(f), vault_dir=self.vault_dir)
 
     def snapshot_ids(self) -> list[int]:
         d = os.path.join(self.vault_dir, "snapshots")
@@ -418,6 +481,105 @@ class LakeVault:
                 entries.append(entry)
         return entries
 
+    def _write_manifests(
+        self, entries: list[dict[str, Any]], tag: str
+    ) -> list[dict[str, Any]]:
+        """Group file entries per bucket and write one manifest file each;
+        return the refs. Per-bucket grouping is what makes bucket
+        replacement METADATA-ONLY: a COW/compact commit drops whole refs of
+        the replaced buckets and never rewrites the other buckets'
+        manifests."""
+        groups: dict[Any, list[dict[str, Any]]] = {}
+        for e in entries:
+            groups.setdefault(e["bucket"], []).append(e)
+        refs: list[dict[str, Any]] = []
+        for bucket, ents in sorted(groups.items(), key=lambda kv: (kv[0] is None, kv[0])):
+            rel = os.path.join(
+                "filelists", f"fl-{tag}-b{'x' if bucket is None else bucket}.json"
+            )
+            _atomic_write_json(os.path.join(self.vault_dir, rel), {"files": ents})
+            refs.append(
+                {
+                    "path": rel,
+                    "bucket": bucket,
+                    "n_files": len(ents),
+                    "rows": sum(e["rows"] for e in ents),
+                    "bytes": sum(e.get("bytes", 0) for e in ents),
+                    "delta": any(e.get("delta") for e in ents),
+                }
+            )
+        return refs
+
+    def _kept_refs(
+        self,
+        parent: Snapshot,
+        replace_buckets: list[int] | None,
+        replace_all: bool,
+        tag: str,
+    ) -> list[dict[str, Any]]:
+        """Parent manifests carried into the child snapshot. O(refs) — file
+        entries are only loaded for a legacy inline snapshot (one-time
+        migration) or a bucket-less manifest intersecting the replacement."""
+        if replace_all:
+            return []
+        refs = parent.manifest_refs
+        if parent.is_legacy():
+            refs = self._write_manifests(parent.files, f"{tag}-migrated")
+        if replace_buckets is None:
+            return list(refs)
+        rb = set(replace_buckets)
+        kept: list[dict[str, Any]] = []
+        for r in refs:
+            if r["bucket"] is not None:
+                if r["bucket"] not in rb:
+                    kept.append(r)
+                continue
+            # bucket-less manifest: filter per file (conservative path)
+            with open(os.path.join(self.vault_dir, r["path"])) as f:
+                ents = [e for e in json.load(f)["files"] if e["bucket"] not in rb]
+            if ents:
+                kept.extend(self._write_manifests(ents, f"{tag}-residual"))
+        return kept
+
+    _BATCH_SEG_CAP = 4096
+
+    def _append_batch_log(
+        self, parent: Snapshot, batch_id: str | None
+    ) -> list[dict[str, Any]]:
+        """Append one id to the batch log; rewrite only the TAIL segment
+        (≤ _BATCH_SEG_CAP ids). Crash-safe: the segment is written before
+        the snapshot publishes, and every snapshot records its own prefix
+        length per segment — an appended-but-unpublished id is invisible and
+        gets overwritten by the retry (ids are truncated to the parent's
+        prefix before appending)."""
+        if parent._batches_cache is not None and not parent.batch_log and parent._batches_cache:
+            # legacy inline batches: migrate once into full segments
+            segs: list[dict[str, Any]] = []
+            ids = list(parent.committed_batches)
+            for k in range(0, len(ids), self._BATCH_SEG_CAP):
+                chunk = ids[k : k + self._BATCH_SEG_CAP]
+                rel = os.path.join("batchlog", f"seg-{len(segs)}.json")
+                _atomic_write_json(os.path.join(self.vault_dir, rel), {"ids": chunk})
+                segs.append({"path": rel, "n": len(chunk)})
+        else:
+            segs = [dict(s) for s in parent.batch_log]
+        if batch_id is None:
+            return segs
+        os.makedirs(os.path.join(self.vault_dir, "batchlog"), exist_ok=True)
+        if segs and segs[-1]["n"] < self._BATCH_SEG_CAP:
+            tail = segs[-1]
+            p = os.path.join(self.vault_dir, tail["path"])
+            with open(p) as f:
+                ids = json.load(f)["ids"][: tail["n"]]
+            ids.append(batch_id)
+            _atomic_write_json(p, {"ids": ids})
+            segs[-1] = {"path": tail["path"], "n": len(ids)}
+        else:
+            rel = os.path.join("batchlog", f"seg-{len(segs)}.json")
+            _atomic_write_json(os.path.join(self.vault_dir, rel), {"ids": [batch_id]})
+            segs.append({"path": rel, "n": 1})
+        return segs
+
     def commit(
         self,
         *,
@@ -431,12 +593,15 @@ class LakeVault:
         new_n_buckets: int | None = None,
         delta: bool = False,
     ) -> int:
-        """Produce snapshot N+1 = (parent files minus replaced buckets) +
-        files under ``add_write_dir``; atomically swap the version pointer.
+        """Produce snapshot N+1 = (parent manifests minus replaced buckets)
+        + one new manifest per bucket written under ``add_write_dir``;
+        atomically swap the version pointer. Commit cost is O(affected
+        buckets + live manifest refs), independent of table file count and
+        batch history length — the snapshot JSON never re-serializes the
+        full file list or batch history (measured flat in BENCH/BASELINE.md).
 
         Idempotent per ``batch_id``: if the batch is already in the parent's
-        ``committed_batches`` the commit is a no-op (returns current id).
-        """
+        batch log the commit is a no-op (returns current id)."""
         parent = self.snapshot()
         if batch_id is not None and batch_id in parent.committed_batches:
             return parent.snapshot_id
@@ -446,15 +611,11 @@ class LakeVault:
         if schema.schema_id not in schemas:
             schemas[schema.schema_id] = schema
 
-        if replace_all:
-            kept = []
-        elif replace_buckets is not None:
-            rb = set(replace_buckets)
-            kept = [f for f in parent.files if f["bucket"] not in rb]
-        else:
-            kept = list(parent.files)
-
         new_id = parent.snapshot_id + 1
+        os.makedirs(os.path.join(self.vault_dir, "filelists"), exist_ok=True)
+        kept_refs = self._kept_refs(parent, replace_buckets, replace_all, str(new_id))
+
+        new_refs: list[dict[str, Any]] = []
         new_entries: list[dict[str, Any]] = []
         if add_write_dir is not None:
             new_entries = self._register_written_files(
@@ -465,23 +626,28 @@ class LakeVault:
                 # canonical LWW tiebreak on merge-on-read scans (later
                 # commit wins at equal last_seq, matching the write side)
                 e["ord"] = new_id
+            new_refs = self._write_manifests(new_entries, str(new_id))
+
+        batch_log = self._append_batch_log(parent, batch_id)
+        refs = kept_refs + new_refs
         parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]
         snap = Snapshot(
             snapshot_id=new_id,
             parent_id=parent.snapshot_id,
             schema=schema,
             schemas=schemas,
-            files=kept + new_entries,
+            manifest_refs=refs,
+            batch_log=batch_log,
             n_buckets=new_n_buckets if new_n_buckets is not None else parent_nb,
-            committed_batches=parent.committed_batches
-            + ([batch_id] if batch_id else []),
             summary={
                 **(summary or {}),
                 "added_files": len(new_entries),
                 "added_bytes": sum(f.get("bytes", 0) for f in new_entries),
-                "total_files": len(kept) + len(new_entries),
-                "total_rows": sum(f["rows"] for f in kept + new_entries),
+                # totals from ref metadata only — never loads file entries
+                "total_files": sum(r["n_files"] for r in refs),
+                "total_rows": sum(r["rows"] for r in refs),
             },
+            vault_dir=self.vault_dir,
         )
         if batch_id is not None and manifest is not None:
             _atomic_write_json(
@@ -598,13 +764,21 @@ class LakeVault:
         live_files: set[str] = set()
         for sid in keep:
             live_files.update(f["path"] for f in self.snapshot(sid).files)
+        live_manifests: set[str] = set()
+        for sid in keep:
+            live_manifests.update(r["path"] for r in self.snapshot(sid).manifest_refs)
         removed = []
         for sid in ids:
             if sid in keep:
                 continue
-            for f in self.snapshot(sid).files:
+            expired = self.snapshot(sid)
+            for f in expired.files:
                 p = os.path.join(self.root, f["path"])
                 if f["path"] not in live_files and os.path.exists(p):
+                    os.remove(p)
+            for r in expired.manifest_refs:
+                p = os.path.join(self.vault_dir, r["path"])
+                if r["path"] not in live_manifests and os.path.exists(p):
                     os.remove(p)
             os.remove(self._snap_path(sid))
             removed.append(sid)

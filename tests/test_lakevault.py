@@ -99,3 +99,54 @@ def test_compact_and_expire(spark, tmp_path):
     assert removed  # old snapshots gone
     assert v.scan().count() == 20  # current state intact
     assert len(v.snapshot().files) <= before_files + 2
+
+
+def test_commit_metadata_cost_flat_in_table_size(spark, tmp_path):
+    """The manifest layer's contract: a commit writes O(affected buckets)
+    metadata — snapshot JSON size and the set of (re)written manifest files
+    must NOT grow with the number of accumulated commits/files. Batch ids
+    append to a tail segment, not a rewritten inline list."""
+    import json as _json
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(40).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "cast(md5(cast(id as string)) as string) content_sha256", "id last_seq")
+
+    def one_commit(i):
+        wd = v.new_write_dir(f"c{i}")
+        (df.withColumn("__bucket", v.bucket_expr())
+           .repartition(2).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+        before = set()
+        fl = _os.path.join(v.vault_dir, "filelists")
+        if _os.path.isdir(fl):
+            before = {(f, _os.path.getmtime(_os.path.join(fl, f))) for f in _os.listdir(fl)}
+        v.commit(add_write_dir=wd, replace_buckets=[0, 1, 2, 3], batch_id=f"b{i}",
+                 manifest={"i": i}, summary={"operation": "merge"})
+        after = {(f, _os.path.getmtime(_os.path.join(fl, f))) for f in _os.listdir(fl)}
+        changed = after - before
+        return len(changed), _os.path.getsize(v._snap_path(v.current_snapshot_id()))
+
+    sizes, writes = [], []
+    for i in range(12):
+        w, s = one_commit(i)
+        writes.append(w)
+        sizes.append(s)
+
+    # manifests written per commit: exactly the affected buckets, every time
+    assert max(writes[2:]) == min(writes[2:]) == 4
+    # snapshot JSON size flat (no inline file list / batch list growth):
+    # allow only the few bytes the growing batch-log prefix count costs
+    assert sizes[-1] - sizes[2] < 200, sizes
+    # batch log: one tail segment holds all ids
+    snap = v.snapshot()
+    assert len(snap.batch_log) == 1 and snap.batch_log[0]["n"] == 12
+    assert set(snap.committed_batches) == {f"b{i}" for i in range(12)}
+    # and the data is still all there
+    assert v.scan().count() == 40
