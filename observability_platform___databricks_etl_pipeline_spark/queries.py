@@ -13,7 +13,9 @@ driver records a rows-only check; their real verification lives in tests/.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1141,12 +1143,13 @@ def cdc_replay_documents_mor(spark, sf_dir):
 _ENTRY_WAL = "/tmp/cdc-gate-entry-wal-4000-s42/wal"
 
 
-def _final_state_oracle() -> str:
-    """DuckDB replay of the engine-generated WAL: quarantine filter →
-    op-classify fallback → arg_max LWW per (repo, path) → sanitize chain →
-    lang inference (extension map) → per-lang rollup. Every declared engine
-    semantic (plans/replay.py module docstring) is SQL-expressible; this was
-    the last rows-only gate entry (VERDICT r2 #2)."""
+def _gen_wal_live_cte(seq_below: int | None = None) -> str:
+    """Shared DuckDB CTEs replaying the engine-generated WAL at the fixed
+    path: quarantine filter → op-classify fallback → arg_max LWW per
+    (repo, path) → sanitize chain → lang inference (extension map). The
+    resulting ``live`` relation is the engine's ``current_state()``;
+    ``seq_below`` restricts to the WAL prefix — i.e. TIME TRAVEL to the
+    snapshot committed after that chunk boundary."""
     from observability_platform___databricks_etl_pipeline_spark.functions.langinfer import EXT_LANG
 
     ext = "lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1))"
@@ -1156,8 +1159,9 @@ def _final_state_oracle() -> str:
         + " ELSE 'unknown' END"
     )
     san = _sanitize_sql_duckdb("content0")
+    cap = f"AND seq < {seq_below}" if seq_below is not None else ""
     return f"""
-    WITH raw AS (
+    raw AS (
       SELECT seq, repo, path, "commit" AS cmt, op, lang, content
       FROM read_parquet('{_ENTRY_WAL}/chunk=*/*.parquet', hive_partitioning=true)
     ),
@@ -1169,28 +1173,77 @@ def _final_state_oracle() -> str:
                       CASE WHEN content IS NULL THEN 'delete' ELSE 'update' END) AS cop
       FROM raw
       WHERE seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL AND cmt IS NOT NULL
-        AND (op IS NULL OR op NOT IN ('add_column', 'rename_column'))
+        AND (op IS NULL OR op NOT IN ('add_column', 'rename_column')) {cap}
     ),
     w AS (
       -- LWW winner per key: seqs are globally unique in this WAL, so the
       -- engine's per-batch max_by composition reduces to one global arg_max
-      SELECT repo, path,
+      SELECT repo, path, max(seq) AS last_seq,
              arg_max(cop, seq) AS fop,
              nullif(arg_max(coalesce(lang, '__null__'), seq), '__null__') AS lang0,
              arg_max(coalesce(content, ''), seq) AS content0
       FROM ev GROUP BY repo, path
     ),
     live AS (
-      SELECT repo,
+      SELECT repo, path, last_seq,
              coalesce(lang0, {ext_case}) AS lang,
              {san} AS content_s
       FROM w WHERE fop <> 'delete'
     )
+    """
+
+
+def _final_state_oracle(seq_below: int | None = None) -> str:
+    """DuckDB replay of the engine-generated WAL → per-lang rollup. Every
+    declared engine semantic (plans/replay.py module docstring) is
+    SQL-expressible; this closed the last rows-only gate entry (r2 #2)."""
+    return f"""
+    WITH {_gen_wal_live_cte(seq_below)}
     SELECT lang, count(*) AS files,
            CAST(count(DISTINCT repo) AS BIGINT) AS repos,
            CAST(sum(length(content_s)) AS BIGINT) AS bytes
     FROM live GROUP BY lang
     """
+
+
+# One replayed table serves the three generated-WAL gate entries
+# (final state, time travel, point lookup) — replaying once per process.
+# The staging dir is registered for atexit removal, so repeated gate/bench
+# runs never accumulate tables on disk (bounded: one per process).
+_ENTRY_ENGINES: dict[int, Any] = {}
+
+
+def _entry_engine(spark):
+    import atexit
+    import shutil
+    import tempfile
+
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    key = id(spark)
+    eng = _ENTRY_ENGINES.get(key)
+    if eng is not None and os.path.isdir(eng.root):
+        return eng
+    write_wal(generate_changelog(spark, 4000, seed=42), _ENTRY_WAL, chunk_size=2000)
+    base = tempfile.mkdtemp(prefix="cdc-entry-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
+    eng.replay(_ENTRY_WAL)
+    _ENTRY_ENGINES[key] = eng
+    return eng
+
+
+def _lang_rollup(state_df):
+    return (
+        state_df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.countDistinct("repo").alias("repos"),
+            F.sum(F.length("content")).alias("bytes"),
+        )
+        .orderBy(F.col("files").desc(), "lang")
+    )
 
 
 @_register("cdc_engine_final_state", _final_state_oracle())
@@ -1201,33 +1254,42 @@ def cdc_engine_final_state(spark, sf_dir):
     rolled up per lang. The oracle replays the same WAL parquet in DuckDB
     (quarantine + classify fallback + arg_max LWW + sanitize + lang
     inference), closing the last rows-only gate entry."""
-    import shutil
-    import tempfile
+    return _lang_rollup(_entry_engine(spark).current_state())
 
-    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import generate_changelog, write_wal
-    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
 
-    write_wal(generate_changelog(spark, 4000, seed=42), _ENTRY_WAL, chunk_size=2000)
-    base = tempfile.mkdtemp(prefix="cdc-entry-")
-    try:
-        eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
-        eng.replay(_ENTRY_WAL)
-        out = (
-            eng.current_state()
-            .groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).alias("files"),
-                F.countDistinct("repo").alias("repos"),
-                F.sum(F.length("content")).alias("bytes"),
-            )
-            .orderBy(F.col("files").desc(), "lang")
-        )
-        # materialize before the table directory is removed (the caller
-        # collects AFTER this returns); localCheckpoint pins the rows in
-        # block storage so the staging table never leaks disk across runs
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+@_register("cdc_time_travel", _final_state_oracle(seq_below=2000))
+def cdc_time_travel(spark, sf_dir):
+    """TIME TRAVEL, value-hashed (S4 — previously pytest-only): the same
+    rollup AS OF the snapshot committed by the FIRST chunk. The oracle is
+    the final-state replay restricted to the chunk-0 WAL prefix
+    (seq < 2000) — equal iff the pinned snapshot reflects exactly the first
+    batch: no later-batch leakage, tombstones and LWW winners as of then,
+    and COW-replaced files correctly resolved via the old snapshot's
+    manifests."""
+    eng = _entry_engine(spark)
+    first_commit = eng.lineage()[0]["snapshot_id"]
+    return _lang_rollup(eng.current_state(snapshot_id=first_commit))
+
+
+@_register(
+    "cdc_point_lookup",
+    f"""
+    WITH {_gen_wal_live_cte()}
+    SELECT path, lang, sha256(content_s) AS content_sha256,
+           CAST(last_seq AS BIGINT) AS last_seq
+    FROM live WHERE repo = 'org/hot-repo'
+    """,
+)
+def cdc_point_lookup(spark, sf_dir):
+    """Key-range-pruned POINT LOOKUP, value-hashed (S3/P-range — the
+    manifest min/max pruning path): one repo's live files from the replayed
+    table. Pruning is a superset guarantee + row predicate, so the result
+    must equal the plain filtered replay — including sanitize-chain shas and
+    per-file LWW seqs."""
+    eng = _entry_engine(spark)
+    return eng.lookup("org/hot-repo").select(
+        "path", "lang", "content_sha256", F.col("last_seq").cast("long").alias("last_seq")
+    )
 
 
 # ===========================================================================
