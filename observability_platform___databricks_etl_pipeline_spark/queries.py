@@ -1228,7 +1228,8 @@ def _entry_engine(spark):
     write_wal(generate_changelog(spark, 4000, seed=42), _ENTRY_WAL, chunk_size=2000)
     base = tempfile.mkdtemp(prefix="cdc-entry-")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=False)
+    # rollup ON: the per-batch Gold metrics feed the cdc_ingest_rollup gate
+    eng = CDCEngine(spark, f"{base}/tbl", n_buckets=8, with_rollup=True)
     eng.replay(_ENTRY_WAL)
     _ENTRY_ENGINES[key] = eng
     return eng
@@ -1290,6 +1291,133 @@ def cdc_point_lookup(spark, sf_dir):
     return eng.lookup("org/hot-repo").select(
         "path", "lang", "content_sha256", F.col("last_seq").cast("long").alias("last_seq")
     )
+
+
+def _ingest_rollup_oracle() -> str:
+    """DuckDB replay of the PER-BATCH Gold rollup: chunk winners via arg_max
+    per (repo, path, chunk); action classification against PRIOR table state
+    via lag(final-op) over the key's chunk sequence (the table state a
+    chunk-k merge sees for a key IS the key's latest earlier-chunk winner);
+    delete and delete_noop both roll up as 'delete', exactly like
+    replay._rollup_from_dir. Approx-percentile and sampled-commit columns
+    are excluded (approx sketches are not cross-engine reproducible)."""
+    san = _sanitize_sql_duckdb("content0")
+    return f"""
+    WITH raw AS (
+      SELECT seq, repo, path, "commit" AS cmt, op, lang, content
+      FROM read_parquet('{_ENTRY_WAL}/chunk=*/*.parquet', hive_partitioning=true)
+    ),
+    ev AS (
+      SELECT *,
+             coalesce(lower(trim(op)),
+                      CASE WHEN content IS NULL THEN 'delete' ELSE 'update' END) AS cop
+      FROM raw
+      WHERE seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL AND cmt IS NOT NULL
+        AND (op IS NULL OR op NOT IN ('add_column', 'rename_column'))
+    ),
+    cw AS (
+      SELECT repo, path, CAST(seq // 2000 AS BIGINT) AS chunk,
+             max(seq) AS wseq,
+             arg_max(cop, seq) AS fop,
+             arg_max(coalesce(content, ''), seq) AS content0
+      FROM ev GROUP BY repo, path, 3
+    ),
+    act AS (
+      SELECT *, lag(fop) OVER (PARTITION BY repo, path ORDER BY chunk) AS prev_fop
+      FROM cw
+    ),
+    acts AS (
+      SELECT chunk, repo, wseq,
+             CASE WHEN fop = 'delete' THEN 'delete'
+                  WHEN prev_fop IS NOT NULL AND prev_fop <> 'delete' THEN 'update'
+                  ELSE 'insert' END AS aop,
+             CASE WHEN fop = 'delete' THEN 0 ELSE length({san}) END AS clen
+      FROM act
+    )
+    SELECT chunk, repo, count(*) AS events,
+           CAST(sum(CASE WHEN aop = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+           CAST(sum(CASE WHEN aop = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+           CAST(sum(CASE WHEN aop = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+           CAST(sum(clen) AS BIGINT) AS bytes,
+           CAST(min(wseq) AS BIGINT) AS first_seq,
+           CAST(max(wseq) AS BIGINT) AS last_seq
+    FROM acts GROUP BY chunk, repo
+    """
+
+
+@_register("cdc_ingest_rollup", _ingest_rollup_oracle())
+def cdc_ingest_rollup(spark, sf_dir):
+    """The PER-BATCH ingest rollup (Gold analog, A1's 13-agg family on
+    engine-derived data, previously pytest-only): the async post-write
+    metrics pass — batch winners, insert/update/delete mix classified
+    against prior table state, sanitized byte volume, seq ranges — is
+    value-hashed against a windowed DuckDB replay. Batch ids map to chunks
+    via the commit-manifest lineage."""
+    eng = _entry_engine(spark)
+    chunk_of = F.lit(None).cast("long")
+    for man in eng.lineage():
+        chunk_of = F.when(
+            F.col("batch_id") == man["batch_id"], F.lit(man["metrics"]["chunk"])
+        ).otherwise(chunk_of)
+    return eng.ingest_metrics().select(
+        chunk_of.cast("long").alias("chunk"),
+        "repo",
+        F.col("events").cast("long").alias("events"),
+        F.col("inserts").cast("long").alias("inserts"),
+        F.col("updates").cast("long").alias("updates"),
+        F.col("deletes").cast("long").alias("deletes"),
+        F.col("bytes").cast("long").alias("bytes"),
+        F.col("first_seq").cast("long").alias("first_seq"),
+        F.col("last_seq").cast("long").alias("last_seq"),
+    )
+
+
+@_register(
+    "olap_export_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def olap_export_roundtrip(spark, sf_dir):
+    """OLAP bulk export (S12), value-hashed end-to-end: a Gold-style
+    aggregate is exported through the scale path (parallel parquet handoff →
+    DuckDB native bulk ingest, no driver funnel) and the returned DataFrame
+    is what actually LANDED in the OLAP store — dropped or duplicated rows
+    in the export would hash-mismatch the plain-SQL oracle. Money sums are
+    fixed-point cents (exact, association-independent)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from observability_platform___databricks_etl_pipeline_spark.sinks.olap_export import export_parquet_handoff
+
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+            F.countDistinct("o_custkey").alias("customers"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="olap-gate-")
+    try:
+        db = f"{base}/olap.duckdb"
+        export_parquet_handoff(agg, db, "gold_orders")
+        con = duckdb.connect(db)
+        try:
+            pdf = con.execute(
+                "SELECT o_orderpriority, n_orders, total_cents, customers FROM gold_orders"
+            ).fetchdf()
+        finally:
+            con.close()
+        return spark.createDataFrame(pdf)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ===========================================================================
