@@ -158,6 +158,62 @@ def lsh_topk(
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 
+def build_lsh_index(
+    df: DataFrame,
+    index_dir: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """WRITE-TIME LSH index: the corpus persisted partitioned by its
+    hyperplane sign-bucket. At 100 TB this is the point of LSH — the bucket
+    is computed once at ingest, and every query afterwards reads ONLY its
+    probe buckets' files via Hive partition pruning (the scan never lists,
+    let alone decodes, the other 2^planes - 1 - probes partitions). The
+    same (dim, n_planes, seed) triple must be passed at query time."""
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(index_dir)
+    )
+
+
+def lsh_index_topk(
+    spark,
+    index_dir: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Query the write-time index: probe buckets are computed DRIVER-SIDE
+    from the query vector (numpy, microseconds), pushed as a partition
+    filter, and only those buckets' files are scanned + exactly scored.
+    Identical results to ``lsh_topk`` over the same corpus/params — that
+    equivalence and the PartitionFilters pushdown are both pinned by
+    tests."""
+    q = np.asarray(query, dtype="float64")
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0)
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    cand = spark.read.parquet(index_dir).where(F.col("__b").isin(probe))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
 # --------------------------------------------------------------------------
 # IVF (scale path #2): deterministic seeded centroids + cluster probe
 # --------------------------------------------------------------------------

@@ -91,3 +91,28 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     got = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_probe=1, centroids=cents).collect()]
     want = [r["vec_id"] for r in brute_force_topk(df, q, 5).collect()]
     assert got == want
+
+
+def test_lsh_write_time_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The write-time LSH index must (a) return exactly what the on-the-fly
+    LSH path returns and (b) scan ONLY the probe buckets' partitions —
+    PartitionFilters pushdown visible in the physical plan."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+
+    idx = str(tmp_path / "lsh-index")
+    build_lsh_index(emb, idx, n_planes=6)
+    got = lsh_index_topk(spark, idx, query, k=10, n_planes=6)
+    want = lsh_topk(emb, query, k=10, n_planes=6)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__b" in plan.split("PartitionFilters", 1)[1][:200]
