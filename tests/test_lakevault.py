@@ -150,3 +150,84 @@ def test_commit_metadata_cost_flat_in_table_size(spark, tmp_path):
     assert set(snap.committed_batches) == {f"b{i}" for i in range(12)}
     # and the data is still all there
     assert v.scan().count() == 40
+
+
+def test_legacy_inline_snapshot_migrates_on_next_commit(spark, tmp_path):
+    """Back-compat: a snapshot written in the pre-manifest inline format
+    (files + committed_batches embedded in the JSON) must read correctly
+    and be migrated into manifest refs + batch-log segments by its next
+    commit, preserving every file and batch id."""
+    import json as _json
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(30).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "cast(md5(cast(id as string)) as string) content_sha256", "id last_seq")
+    wd = v.new_write_dir("seed")
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(2).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="seed-batch",
+             manifest={"seed": True}, summary={"operation": "merge"})
+
+    # rewrite the current snapshot into the LEGACY inline format
+    snap = v.snapshot()
+    legacy = snap.to_json()
+    legacy.pop("manifest_refs"), legacy.pop("batch_log")
+    legacy["files"] = snap.files
+    legacy["committed_batches"] = snap.committed_batches
+    with open(v._snap_path(snap.snapshot_id), "w") as f:
+        _json.dump(legacy, f)
+
+    v2 = LakeVault.load(spark, root)
+    assert v2.snapshot().is_legacy()
+    assert v2.scan().count() == 30                     # legacy read path
+    assert "seed-batch" in v2.snapshot().committed_batches
+
+    # next commit migrates: refs + segments appear, nothing lost
+    wd2 = v2.new_write_dir("more")
+    (df.limit(5).withColumn("__bucket", v2.bucket_expr())
+       .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd2))
+    v2.commit(add_write_dir=wd2, replace_buckets=[], batch_id="post-legacy",
+              manifest={"i": 1}, summary={"operation": "merge"}, delta=True)
+    snap3 = v2.snapshot()
+    assert snap3.manifest_refs and snap3.batch_log
+    assert set(snap3.committed_batches) == {"seed-batch", "post-legacy"}
+    assert v2.scan().count() == 30                     # delta LWW-merges over base
+
+
+def test_expire_snapshots_removes_orphaned_manifests(spark, tmp_path):
+    """expire_snapshots must delete manifest files referenced ONLY by
+    expired snapshots, while keeping every manifest a live snapshot needs."""
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(20).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "cast(md5(cast(id as string)) as string) content_sha256", "id last_seq")
+    for i in range(6):
+        wd = v.new_write_dir(f"c{i}")
+        (df.withColumn("__bucket", v.bucket_expr())
+           .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+        v.commit(add_write_dir=wd, replace_buckets=[0, 1, 2, 3], batch_id=f"b{i}",
+                 manifest={"i": i}, summary={"operation": "merge"})
+
+    fl = _os.path.join(v.vault_dir, "filelists")
+    before = len(_os.listdir(fl))
+    removed = v.expire_snapshots(keep_last=2)
+    assert removed
+    after = len(_os.listdir(fl))
+    assert after < before
+    live = {r["path"] for sid in v.snapshot_ids() for r in v.snapshot(sid).manifest_refs}
+    assert all(_os.path.join("filelists", f) in live for f in _os.listdir(fl))
+    assert v.scan().count() == 20
