@@ -588,6 +588,47 @@ def doc_ngram_jaccard(spark, sf_dir):
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
 
 
+# cap=2 because the synthetic corpus's max shingle doc-frequency is 7 — a
+# production-scale cap (10^2..10^4) would be a no-op here and the gate would
+# prove nothing; at 2 the capped answer DIFFERS from uncapped (23 vs 25
+# pairs at sf0.01), so the hash pins the cap's exact semantics.
+_NGRAM_DF_CAP = 2
+
+
+@_register(
+    "doc_ngram_jaccard_capped",
+    f"""
+    WITH {_NGRAM_CTES},
+    ngkeep AS (SELECT shingle FROM ngsh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}),
+    ngshc AS (SELECT a.doc_id, a.shingle FROM ngsh a JOIN ngkeep USING (shingle)),
+    ngsizesc AS (SELECT doc_id, count(*) AS n_sh FROM ngshc GROUP BY doc_id),
+    nginterc AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ngshc a JOIN ngshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ngpairsc AS (
+      SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+      FROM nginterc JOIN ngsizesc sa ON sa.doc_id = id_a JOIN ngsizesc sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM ngpairsc WHERE jaccard >= 0.12
+    """,
+)
+def doc_ngram_jaccard_capped(spark, sf_dir):
+    """The df-CAPPED Jaccard path — the configuration that is MANDATORY at
+    100 TB (a stop-shingle in d docs costs O(d²) join rows) — hash-verified:
+    shingles over the cap are excluded from the intersection AND the set
+    sizes, and the oracle mirrors that exclusion exactly, so the gate proves
+    the approximate-Jaccard-over-capped-universe semantics, not just the
+    happy path."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3,
+        threshold=0.12, df_cap=_NGRAM_DF_CAP,
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
 @_register(
     "doc_dedup_clusters",
     f"""
