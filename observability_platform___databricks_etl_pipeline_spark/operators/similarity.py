@@ -362,8 +362,13 @@ def embedding_neardup_pairs(
         signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0  # (batch, T, P)
         return pd.Series(list(signs @ weights))  # (batch, T) sign-pattern ids
 
-    # posexplode: pos IS the table index — no struct array needed
-    b = corpus.select("id", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk"))
+    # posexplode: pos IS the table index — no struct array needed.
+    # Null / wrong-length vectors are dropped BEFORE the UDF: np.stack would
+    # otherwise raise on a ragged batch (failing the whole job), whereas the
+    # old Catalyst bucket expression silently skipped such rows — preserve
+    # the skip-the-row semantics (they can never be near-dup candidates).
+    valid = corpus.where(F.col("v").isNotNull() & (F.size("v") == F.lit(dim)))
+    b = valid.select("id", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk"))
     cand = (
         b.alias("l")
         .join(b.alias("r"), ["t", "bk"])

@@ -529,16 +529,21 @@ class LakeVault:
             return list(refs)
         rb = set(replace_buckets)
         kept: list[dict[str, Any]] = []
+        residual: list[dict[str, Any]] = []
         for r in refs:
             if r["bucket"] is not None:
                 if r["bucket"] not in rb:
                     kept.append(r)
                 continue
-            # bucket-less manifest: filter per file (conservative path)
+            # bucket-less manifest: filter per file (conservative path).
+            # Entries from ALL bucket-less refs are pooled and written in ONE
+            # _write_manifests call — per-ref calls would reuse the same
+            # fl-{tag}-residual-b{bucket}.json name when two refs share a
+            # bucket, silently overwriting the first ref's entries.
             with open(os.path.join(self.vault_dir, r["path"])) as f:
-                ents = [e for e in json.load(f)["files"] if e["bucket"] not in rb]
-            if ents:
-                kept.extend(self._write_manifests(ents, f"{tag}-residual"))
+                residual.extend(e for e in json.load(f)["files"] if e["bucket"] not in rb)
+        if residual:
+            kept.extend(self._write_manifests(residual, f"{tag}-residual"))
         return kept
 
     _BATCH_SEG_CAP = 4096
@@ -758,35 +763,66 @@ class LakeVault:
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
         """Delete snapshot metadata + unreferenced data files older than the
         last ``keep_last`` snapshots (VACUUM analog — never retain-0: the
-        current snapshot and its files are always kept)."""
+        current snapshot and its files are always kept).
+
+        TWO-PASS by necessity: expired snapshots routinely SHARE carried
+        manifests with each other (a delta commit carries its parent's refs;
+        a later compact drops them), so deletion must happen strictly after
+        every expired snapshot's file list has been enumerated — deleting
+        while walking breaks later ``.files`` loads mid-expiry and leaks the
+        data files the broken snapshot referenced."""
         ids = self.snapshot_ids()
         keep = set(ids[-keep_last:]) | {self.current_snapshot_id()}
+        expired_ids = [sid for sid in ids if sid not in keep]
+        # pass 1: enumerate everything while all manifests still exist
         live_files: set[str] = set()
-        for sid in keep:
-            live_files.update(f["path"] for f in self.snapshot(sid).files)
         live_manifests: set[str] = set()
         for sid in keep:
-            live_manifests.update(r["path"] for r in self.snapshot(sid).manifest_refs)
-        removed = []
-        for sid in ids:
-            if sid in keep:
-                continue
-            expired = self.snapshot(sid)
-            for f in expired.files:
-                p = os.path.join(self.root, f["path"])
-                if f["path"] not in live_files and os.path.exists(p):
-                    os.remove(p)
-            for r in expired.manifest_refs:
-                p = os.path.join(self.vault_dir, r["path"])
-                if r["path"] not in live_manifests and os.path.exists(p):
-                    os.remove(p)
-            os.remove(self._snap_path(sid))
-            removed.append(sid)
-        # sweep empty staging dirs
+            snap = self.snapshot(sid)
+            live_manifests.update(r["path"] for r in snap.manifest_refs)
+            live_files.update(f["path"] for f in snap.files)
+        dead_files: set[str] = set()
+        dead_manifests: set[str] = set()
+        for sid in expired_ids:
+            snap = self.snapshot(sid)
+            dead_manifests.update(r["path"] for r in snap.manifest_refs)
+            dead_files.update(f["path"] for f in snap.files)
+        # pass 2: data files, then manifests, then snapshot JSONs — so a
+        # crash mid-expiry leaves reruns able to re-enumerate what's left
+        for rel in sorted(dead_files - live_files):
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for rel in sorted(dead_manifests - live_manifests):
+            p = os.path.join(self.vault_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for sid in expired_ids:
+            if os.path.exists(self._snap_path(sid)):
+                os.remove(self._snap_path(sid))
+        # orphan GC: a crash between the data-phase write and commit() leaves
+        # a parquet-bearing staging dir referenced by NO snapshot, forever.
+        # Sweep dirs whose commit attempt is dead (encoded attempt id ≤ the
+        # current snapshot id — an in-flight writer stages for current+1, so
+        # it is never touched) and whose files no retained snapshot lists.
+        cur = self.current_snapshot_id()
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
-            if os.path.isdir(full) and not any(
-                fn.endswith(".parquet") for _, _, fns in os.walk(full) for fn in fns
-            ):
+            if not os.path.isdir(full):
+                continue
+            parquet = [
+                os.path.relpath(os.path.join(dp, fn), self.root)
+                for dp, _dn, fns in os.walk(full)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+            if not parquet:
+                shutil.rmtree(full, ignore_errors=True)  # empty staging dir
+                continue
+            try:
+                attempt = int(d.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if attempt <= cur and not any(p in live_files for p in parquet):
                 shutil.rmtree(full, ignore_errors=True)
-        return removed
+        return expired_ids

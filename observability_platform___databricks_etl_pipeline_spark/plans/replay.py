@@ -306,6 +306,37 @@ class CDCEngine:
                 out.append(man)
         return out
 
+    def expire(self, keep_last: int = 3, keep_side_batches: int = 64) -> list[int]:
+        """Retention for the table AND its side state (the reference's VACUUM,
+        ``01_ingest_raw_logs.py:296-304``, extended to engine-owned dirs):
+
+        - snapshots / manifests / data files via ``vault.expire_snapshots``
+          (incl. crash-orphaned staging dirs — see lakevault two-pass expiry)
+        - ``quarantine/`` and ``ingest_metrics/`` per-batch subdirs, plus
+          commit-manifest lineage JSONs, for every batch OLDER than the last
+          ``keep_side_batches`` committed batches. The batch IDS themselves
+          are never dropped (the exactly-once skip set is tiny and must be
+          complete forever); only their per-batch side DATA is retention-
+          bounded — without this, the side dirs grow one subdir per batch
+          for the life of the table."""
+        import shutil
+
+        removed = self.vault.expire_snapshots(keep_last=keep_last)
+        batches = self.vault.snapshot().committed_batches  # commit order
+        keep = set(batches[-keep_side_batches:]) if keep_side_batches > 0 else set(batches)
+        for d in (self.quarantine_dir, self.metrics_dir):
+            if not os.path.isdir(d):
+                continue
+            for sub in os.listdir(d):
+                if sub.startswith("batch_id=") and sub.split("=", 1)[1] not in keep:
+                    shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
+        mdir = os.path.join(self.vault.vault_dir, "manifests")
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn.endswith(".json") and fn[:-5] not in keep:
+                    os.remove(os.path.join(mdir, fn))
+        return removed
+
     @staticmethod
     def batch_id(wal_dir: str, chunk: int) -> str:
         """Deterministic batch identity = hash of the offset range — replaces
@@ -706,10 +737,15 @@ class CDCEngine:
             # proportional to churn, and scan()'s per-commit union-group
             # count stays bounded. Crash-safe: the compact is its own
             # commit; a crash before it just re-triggers on the next batch.
+            # Census from manifest REFS alone — each ref already carries
+            # (bucket, n_files, delta), so this is O(live refs) with zero
+            # manifest-file reads; loading snapshot().files here would be an
+            # O(total files) metadata read per batch, defeating the
+            # O(affected buckets) commit-cost contract (r3 ADVICE, medium).
             per_bucket: dict[int, int] = {}
-            for f in self.vault.snapshot().files:
-                if f.get("delta"):
-                    per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+            for r in self.vault.snapshot().manifest_refs:
+                if r.get("delta") and r.get("bucket") is not None:
+                    per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n_files"]
             over = sorted(b for b, n in per_bucket.items() if n > self.mor_compact_threshold)
             if over:
                 self.vault.compact(buckets=over)

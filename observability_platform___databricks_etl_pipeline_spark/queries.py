@@ -14,6 +14,7 @@ driver records a rows-only check; their real verification lives in tests/.
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
@@ -1176,12 +1177,19 @@ def cdc_replay_documents_mor(spark, sf_dir):
     return cdc_replay_documents(spark, sf_dir, write_mode="mor")
 
 
-# The generated WAL is written to a FIXED path so the DuckDB oracle — a
-# static SQL string — can replay the same parquet files the engine consumed.
-# Content is deterministic (gen/changelog.py: every column a pure function of
-# the row id); the write is mode("overwrite"), so reruns replace in place —
-# fixed-size, never an unbounded leak.
-_ENTRY_WAL = "/tmp/cdc-gate-entry-wal-4000-s42/wal"
+# The generated WAL is written to a FIXED (per-user) path so the DuckDB
+# oracle — a static SQL string baked at import time — can replay the same
+# parquet files the engine consumed. Content is deterministic
+# (gen/changelog.py: every column a pure function of the row id); the write
+# is mode("overwrite"), so reruns replace in place — fixed-size, never an
+# unbounded leak. The uid suffix keeps two users on one box from colliding
+# in world-shared /tmp (r3 ADVICE): each process bakes ITS OWN path into its
+# oracle strings, and the per-process engine cache is keyed to the same path.
+_ENTRY_WAL = os.path.join(
+    tempfile.gettempdir(),
+    f"cdc-gate-entry-wal-4000-s42-u{os.getuid() if hasattr(os, 'getuid') else 0}",
+    "wal",
+)
 
 
 def _gen_wal_live_cte(seq_below: int | None = None) -> str:

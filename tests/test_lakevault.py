@@ -231,3 +231,84 @@ def test_expire_snapshots_removes_orphaned_manifests(spark, tmp_path):
     live = {r["path"] for sid in v.snapshot_ids() for r in v.snapshot(sid).manifest_refs}
     assert all(_os.path.join("filelists", f) in live for f in _os.listdir(fl))
     assert v.scan().count() == 20
+
+
+def _commit_df(spark, v, df, batch_id, *, replace_buckets, delta=False, replace_all=False):
+    wd = v.new_write_dir(batch_id)
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    v.commit(add_write_dir=wd, replace_buckets=replace_buckets, batch_id=batch_id,
+             manifest={"batch_id": batch_id}, summary={"operation": "merge"},
+             delta=delta, replace_all=replace_all)
+
+
+def test_expire_with_shared_carried_manifests(spark, tmp_path):
+    """r3 ADVICE (high): two expired snapshots sharing a carried manifest —
+    the normal MOR lifecycle (a delta commit carries its parent's refs; a
+    later compact/COW drops them) — must expire cleanly. The single-pass
+    walk deleted the shared manifest while processing the older snapshot,
+    then crashed opening it for the newer one, leaving expiry permanently
+    broken and that snapshot's data files leaked."""
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(16).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "cast(md5(cast(id as string)) as string) content_sha256", "id last_seq")
+    _commit_df(spark, v, df, "base", replace_buckets=None)            # snap 1
+    _commit_df(spark, v, df.limit(4), "d1", replace_buckets=[], delta=True)  # snap 2 carries snap 1's refs
+    for i in range(3):                                                 # snaps 3-5 drop them
+        _commit_df(spark, v, df, f"cow{i}", replace_buckets=None, replace_all=True)
+
+    removed = v.expire_snapshots(keep_last=2)          # expires 0,1,2,3
+    assert set(removed) == {0, 1, 2, 3}
+    # rerun is a clean no-op, data intact, no dangling metadata
+    assert v.expire_snapshots(keep_last=2) == []
+    assert v.scan().count() == 16
+    live_refs = {r["path"] for sid in v.snapshot_ids() for r in v.snapshot(sid).manifest_refs}
+    fl = _os.path.join(v.vault_dir, "filelists")
+    assert {f"filelists/{f}" for f in _os.listdir(fl)} == live_refs
+    # every data file on disk is referenced by a live snapshot (no leaks)
+    on_disk = {
+        _os.path.relpath(_os.path.join(dp, fn), root)
+        for dp, _dn, fns in _os.walk(v.data_dir) for fn in fns if fn.endswith(".parquet")
+    }
+    live_files = {f["path"] for sid in v.snapshot_ids() for f in v.snapshot(sid).files}
+    assert on_disk == live_files
+
+
+def test_expire_sweeps_crash_orphaned_write_dirs(spark, tmp_path):
+    """A crash between the data-phase write and commit() leaves a
+    parquet-bearing staging dir no snapshot references; expire must sweep it
+    once the commit attempt is dead — while never touching an in-flight
+    writer's dir (staged for current_snapshot_id + 1)."""
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(8).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "cast(md5(cast(id as string)) as string) content_sha256", "id last_seq")
+    # simulate the crash: full parquet written, commit never happens
+    orphan = v.new_write_dir("crashed")
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(orphan))
+    assert any(fn.endswith(".parquet") for _, _, fns in _os.walk(orphan) for fn in fns)
+    # the orphan's attempt id is still current+1 → must be left alone (could
+    # be an in-flight writer)
+    v.expire_snapshots(keep_last=3)
+    assert _os.path.isdir(orphan)
+    # a real commit supersedes the attempt; now the orphan is provably dead
+    _commit_df(spark, v, df, "b0", replace_buckets=None)
+    v.expire_snapshots(keep_last=3)
+    assert not _os.path.isdir(orphan)
+    assert v.scan().count() == 8  # committed data untouched

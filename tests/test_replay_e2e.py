@@ -91,3 +91,33 @@ def test_accessors_metrics_quarantine_lineage(spark, tmp_path, wal):
     # rollup accessor: conservation against batch metrics at repo grain
     roll = eng.ingest_metrics()
     assert roll.where("repo = 'org/hot-repo'").count() > 0
+
+
+def test_engine_expire_bounds_side_tables(spark, tmp_path, wal):
+    """CDCEngine.expire: quarantine / ingest_metrics per-batch subdirs and
+    lineage manifest JSONs older than the retention window are swept, while
+    the exactly-once batch-id set stays complete (re-replay still skips) and
+    retained side data stays queryable."""
+    import os
+
+    root = str(tmp_path / "tbl-exp")
+    engine = CDCEngine(spark, root, n_buckets=8, with_rollup=True)
+    res = engine.replay(wal)
+    n_batches = len([b for b in res.batches if not b.skipped])
+    assert n_batches >= 3
+    assert len(os.listdir(engine.metrics_dir)) == n_batches
+
+    engine.expire(keep_last=2, keep_side_batches=1)
+    last_bid = engine.vault.snapshot().committed_batches[-1]
+    kept_metrics = os.listdir(engine.metrics_dir)
+    assert kept_metrics == [f"batch_id={last_bid}"]
+    if os.path.isdir(engine.quarantine_dir):
+        assert all(
+            d == f"batch_id={last_bid}" for d in os.listdir(engine.quarantine_dir)
+        )
+    mdir = os.path.join(engine.vault.vault_dir, "manifests")
+    assert [f[:-5] for f in os.listdir(mdir)] == [last_bid]
+    # retained rollup still reads; exactly-once set survives retention
+    assert engine.ingest_metrics().count() > 0
+    res2 = CDCEngine(spark, root, n_buckets=8, with_rollup=False).replay(wal)
+    assert all(b.skipped for b in res2.batches)
