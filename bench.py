@@ -117,13 +117,31 @@ def main() -> None:
         # updates-heavy key distribution (~500k keys at 2M events) — the
         # realistic CDC shape: change streams revisit keys
         write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal, chunk_size=chunk)
-        # rollup ON since round 2: an async content-pruned re-read of the
-        # just-written bucket files, overlapped with the next batch
-        # (measured 2-5% over rollup-off at 2M/local[32]), not a merge re-run
-        eng = CDCEngine(spark, f"{base}/tbl", n_buckets=32, with_rollup=True)
-        t0 = time.perf_counter()
-        res = eng.replay(wal)
-        replay_s = time.perf_counter() - t0
+        # The replay is TRIALED like the queries (r3 verdict #1: the one
+        # single-trial number left in the harness shipped a 2.3x phantom
+        # regression that a clean re-run disproved). Median is the headline;
+        # per-trial seconds and the median trial's per-phase breakdown go
+        # into the JSON so an outlier self-attributes instead of whipsawing
+        # the gate. Each trial replays into a FRESH table (same WAL).
+        replay_trials = int(os.environ.get("SPARK_GRAFT_REPLAY_TRIALS", "2"))
+        trial_secs: list[float] = []
+        trial_phases: list[dict[str, float]] = []
+        for t in range(replay_trials):
+            tbl = f"{base}/tbl{t}"
+            # rollup ON since round 2: an async content-pruned re-read of
+            # the just-written bucket files, overlapped with the next batch
+            # (2-5% over rollup-off at 2M/local[32]), not a merge re-run
+            eng = CDCEngine(spark, tbl, n_buckets=32, with_rollup=True)
+            t0 = time.perf_counter()
+            res = eng.replay(wal)
+            trial_secs.append(time.perf_counter() - t0)
+            trial_phases.append({k: round(v, 3) for k, v in eng.phase_seconds.items()})
+            shutil.rmtree(tbl, ignore_errors=True)
+        # lower median by total (for 2 trials: the min — trial 1 pays the
+        # codegen/python-worker warmup), keeping that trial's phase
+        # attribution attached; the full spread is in replay_trial_sec
+        mid = sorted(range(replay_trials), key=lambda i: trial_secs[i])[(replay_trials - 1) // 2]
+        replay_s = trial_secs[mid]
         timings["cdc_replay"] = round(replay_s, 3)
         eps = n_events / replay_s
         applied = [b for b in res.batches if not b.skipped and b.logical_bytes]
@@ -150,6 +168,8 @@ def main() -> None:
                 "replay_write_amplification": write_amp,
                 "replay_merge_strategy": merge_strategy,
                 "replay_write_mode": write_mode,
+                "replay_trial_sec": [round(s, 3) for s in trial_secs],
+                "replay_phase_sec": trial_phases[mid],
                 "trials": trials,
                 "query_min_sec": {
                     name: round(min(ts), 3) for name, ts in per_trial.items()
