@@ -206,6 +206,34 @@ class Snapshot:
         return not self.manifest_refs and self._files_cache is not None and bool(self._files_cache)
 
 
+def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any]:
+    """(rows, bytes, key_min, key_max) from one parquet FOOTER — no data
+    pages read. Shared by the driver-side and distributed harvest paths
+    (must stay module-level: the executor path pickles it into a
+    mapInPandas closure)."""
+    md = pq.ParquetFile(full).metadata
+    rows = md.num_rows
+    kmin = kmax = None
+    try:
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if key0 in names:
+            j = names.index(key0)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                kmin, kmax = min(mins), max(maxs)
+                if isinstance(kmin, bytes):
+                    kmin = kmin.decode("utf-8", "replace")
+                    kmax = kmax.decode("utf-8", "replace")
+    except Exception:
+        pass
+    return rows, os.path.getsize(full), kmin, kmax
+
+
 def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -430,56 +458,91 @@ class LakeVault:
 
     # ---- commit ----------------------------------------------------------
 
+    # Above this many files, footer stats are harvested by EXECUTORS instead
+    # of a serial driver loop: a batch writing thousands of files on an
+    # object store would otherwise make the commit tail driver-serial (the
+    # shape Iceberg avoids by collecting per-file stats during the write).
+    # Below it, one Spark job costs more than the loop it replaces.
+    _STAT_HARVEST_DRIVER_MAX = int(os.environ.get("CDC_STAT_DRIVER_MAX", "64"))
+
     def _register_written_files(
         self, write_dir: str, schema_id: int, delta: bool = False
     ) -> list[dict[str, Any]]:
         """Walk a Spark-written bucket-partitioned directory and produce file
         entries with parquet-footer stats (rows + key min/max) — the manifest
-        stats that make bucket pruning and future key-range pruning free."""
-        entries: list[dict[str, Any]] = []
+        stats that make bucket pruning and key-range pruning free. The walk
+        itself is metadata-only; the footer reads go distributed past
+        ``_STAT_HARVEST_DRIVER_MAX`` files so commit cost never becomes
+        driver-serial in files-per-batch."""
         key0 = self.key_cols[0]
+        files: list[tuple[str, int | None]] = []
         for dirpath, _dirnames, filenames in os.walk(write_dir):
+            bucket = None
+            for part in dirpath.split(os.sep):
+                if part.startswith("__bucket="):
+                    bucket = int(part.split("=", 1)[1])
             for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                bucket = None
-                for part in dirpath.split(os.sep):
-                    if part.startswith("__bucket="):
-                        bucket = int(part.split("=", 1)[1])
-                md = pq.ParquetFile(full).metadata
-                rows = md.num_rows
-                kmin = kmax = None
-                try:
-                    names = [md.schema.column(i).name for i in range(md.num_columns)]
-                    if key0 in names:
-                        j = names.index(key0)
-                        mins, maxs = [], []
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(j).statistics
-                            if st is not None and st.has_min_max:
-                                mins.append(st.min)
-                                maxs.append(st.max)
-                        if mins:
-                            kmin, kmax = min(mins), max(maxs)
-                            if isinstance(kmin, bytes):
-                                kmin = kmin.decode("utf-8", "replace")
-                                kmax = kmax.decode("utf-8", "replace")
-                except Exception:
-                    pass
-                entry = {
-                    "path": os.path.relpath(full, self.root),
-                    "rows": rows,
-                    "bytes": os.path.getsize(full),
-                    "bucket": bucket,
-                    "schema_id": schema_id,
-                    "min_key": kmin,
-                    "max_key": kmax,
-                }
-                if delta:
-                    entry["delta"] = True  # absent (not False) in COW entries: old snapshots stay readable
-                entries.append(entry)
+                if fn.endswith(".parquet"):
+                    files.append((os.path.join(dirpath, fn), bucket))
+        if not files:
+            return []
+
+        if len(files) <= self._STAT_HARVEST_DRIVER_MAX:
+            stats = {full: _parquet_footer_stats(full, key0) for full, _b in files}
+        else:
+            stats = self._harvest_stats_distributed([full for full, _b in files], key0)
+
+        entries: list[dict[str, Any]] = []
+        for full, bucket in files:
+            rows, nbytes, kmin, kmax = stats[full]
+            entry = {
+                "path": os.path.relpath(full, self.root),
+                "rows": rows,
+                "bytes": nbytes,
+                "bucket": bucket,
+                "schema_id": schema_id,
+                "min_key": kmin,
+                "max_key": kmax,
+            }
+            if delta:
+                entry["delta"] = True  # absent (not False) in COW entries: old snapshots stay readable
+            entries.append(entry)
         return entries
+
+    def _harvest_stats_distributed(
+        self, paths: list[str], key0: str
+    ) -> dict[str, tuple[int, int, Any, Any]]:
+        """Footer-stat harvest as ONE parallel Spark job over the path list:
+        executors open footers (pyarrow, ~KB reads), the driver collects only
+        (path, rows, bytes, min, max) tuples — O(files) bytes, not O(files)
+        serial round-trips. The manifest format is unchanged."""
+        import pandas as pd
+
+        def harvest(it):
+            def as_str(v):
+                return v if v is None or isinstance(v, str) else str(v)
+
+            for pdf in it:
+                recs = []
+                for p in pdf["path"]:
+                    rows, nbytes, kmin, kmax = _parquet_footer_stats(p, key0)
+                    recs.append((p, rows, nbytes, as_str(kmin), as_str(kmax)))
+                yield pd.DataFrame(
+                    recs, columns=["path", "rows", "bytes", "min_key", "max_key"]
+                )
+
+        n_slices = max(1, min(len(paths), self.spark.sparkContext.defaultParallelism))
+        rows = (
+            self.spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(n_slices)
+            .mapInPandas(
+                harvest, "path string, rows long, bytes long, min_key string, max_key string"
+            )
+            .collect()
+        )
+        return {
+            r["path"]: (r["rows"], r["bytes"], r["min_key"], r["max_key"]) for r in rows
+        }
 
     def _write_manifests(
         self, entries: list[dict[str, Any]], tag: str

@@ -312,3 +312,43 @@ def test_expire_sweeps_crash_orphaned_write_dirs(spark, tmp_path):
     v.expire_snapshots(keep_last=3)
     assert not _os.path.isdir(orphan)
     assert v.scan().count() == 8  # committed data untouched
+
+
+def test_manifest_stats_harvest_distributed_matches_driver(spark, tmp_path):
+    """r3 verdict #2: past _STAT_HARVEST_DRIVER_MAX files the footer-stat
+    harvest runs as one parallel Spark job instead of a serial driver loop.
+    Both paths must produce byte-identical manifest entries, and a 500-file
+    commit must register every file with correct rows/min/max stats."""
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("last_seq", "long")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    df = spark.range(2000).selectExpr(
+        "concat('r', id % 40) repo", "concat('p', id) path", "id last_seq")
+    wd = v.new_write_dir("many")
+    # 125 tasks x 4 bucket dirs => ~500 files
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(125).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    n_files = sum(1 for dp, _dn, fns in _os.walk(wd) for f in fns if f.endswith(".parquet"))
+    assert n_files >= 400 > v._STAT_HARVEST_DRIVER_MAX
+
+    key = lambda e: e["path"]
+    dist = sorted(v._register_written_files(wd, 0), key=key)       # distributed path
+    try:
+        v._STAT_HARVEST_DRIVER_MAX = 10**9
+        drv = sorted(v._register_written_files(wd, 0), key=key)    # forced driver path
+    finally:
+        del v.__dict__["_STAT_HARVEST_DRIVER_MAX"]
+    assert dist == drv
+    assert sum(e["rows"] for e in dist) == 2000
+    assert all(e["min_key"] is not None and e["min_key"] <= e["max_key"]
+               for e in dist if e["rows"] > 0)
+
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="many",
+             manifest={"batch_id": "many"})
+    assert v.scan().count() == 2000
+    assert sum(f["rows"] for f in v.snapshot().files) == 2000
