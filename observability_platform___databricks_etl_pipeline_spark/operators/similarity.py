@@ -328,19 +328,26 @@ def embedding_neardup_pairs(
     multiply the miss probabilities. Never a cross join; shuffle keys are
     (table, bucket) so hot buckets spread across tables.
 
-    Cost shape: bucket assignment for ALL tables is ONE Arrow-batched numpy
-    matmul per batch (``(tables × planes, dim) @ (dim, batch)`` — the BLAS
-    path; the round-2 shape built an 18-plane × 64-literal Catalyst tree
-    whose analysis+codegen dominated wall-clock at small corpora and whose
-    expression size grows with dim × planes — at 100 TB this bucket column
-    is a write-time index either way). Candidate generation carries only
-    (id, table, bucket) — no vectors — so the self-join + DISTINCT dedupe
-    shuffles 16 bytes/pair. The exact cosine is evaluated ONCE per distinct
-    pair after joining the slim (id, v, norm) table back per side, with the
-    dim-unrolled codegen dot (bit-identical IEEE fold order — the
-    brute-force oracle keeps matching) and norms precomputed per ROW."""
+    Cost shape (the r3→r4 rewrite): bucket assignment for ALL tables is ONE
+    Arrow-batched numpy matmul per batch (the BLAS path; the round-2 shape
+    built an 18-plane × 64-literal Catalyst tree whose analysis+codegen
+    dominated wall-clock — at 100 TB this bucket column is a write-time
+    index either way). Candidate ENUMERATION + approximate verification then
+    happen INSIDE each (table, bucket) group: an ``applyInPandas`` sweep
+    computes the group's normalized gram matrix in row-blocks (BLAS, memory
+    O(block × |bucket|), never materializing |bucket|² rows) and emits only
+    index pairs whose approximate cosine clears ``threshold − 1e-9`` — so
+    the cluster-wide shuffle after bucketing is the HIT SET (~the true
+    near-dup pairs), not the candidate set (the r3 plan shuffled and
+    distinct'ed every co-bucketed pair — 312k rows for a 2k corpus — then
+    joined 1 KB of vectors onto each). The survivors (deduped across
+    tables) are re-scored ONCE with the dim-unrolled codegen dot
+    (bit-identical IEEE fold order — the brute-force oracle keeps matching);
+    the 1e-9 margin dwarfs the ~1e-14 BLAS-vs-fold associativity gap, so the
+    prefilter can only admit extras for the exact filter to drop, never lose
+    a true pair."""
     import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(dim_probe[0]["d"]) if dim_probe else 0
@@ -368,13 +375,38 @@ def embedding_neardup_pairs(
     # old Catalyst bucket expression silently skipped such rows — preserve
     # the skip-the-row semantics (they can never be near-dup candidates).
     valid = corpus.where(F.col("v").isNotNull() & (F.size("v") == F.lit(dim)))
-    b = valid.select("id", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk"))
-    cand = (
-        b.alias("l")
-        .join(b.alias("r"), ["t", "bk"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    b = valid.select(
+        "id", "v", "n", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk")
+    )
+
+    id_field = next(f for f in corpus.schema.fields if f.name == "id")
+    pair_schema = StructType(
+        [StructField("id_a", id_field.dataType), StructField("id_b", id_field.dataType)]
+    )
+    margin = float(threshold) - 1e-9
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            empty = ids[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        m /= pdf["n"].to_numpy()[:, None]  # pre-normalized rows
+        hits_a, hits_b = [], []
+        block = 1024
+        for s in range(0, len(ids), block):
+            g = m[s : s + block] @ m.T  # (block, n) — O(block·n) memory
+            ii, jj = np.nonzero(g >= margin)
+            ii = ii + s
+            keep = ii < jj  # each unordered pair once; drops self-pairs
+            hits_a.append(ids[ii[keep]])
+            hits_b.append(ids[jj[keep]])
+        a = np.concatenate(hits_a)
+        bb = np.concatenate(hits_b)
+        return pd.DataFrame({"id_a": np.minimum(a, bb), "id_b": np.maximum(a, bb)})
+
+    survivors = (
+        b.groupBy("t", "bk").applyInPandas(sweep, pair_schema).dropDuplicates(["id_a", "id_b"])
     )
     a_side = corpus.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -384,7 +416,7 @@ def embedding_neardup_pairs(
     )
     cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(a_side, "id_a")
+        survivors.join(a_side, "id_a")
         .join(b_side, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
