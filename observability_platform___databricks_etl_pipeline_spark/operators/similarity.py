@@ -215,6 +215,136 @@ def lsh_index_topk(
 
 
 # --------------------------------------------------------------------------
+# Batch-of-queries ANN (r3 verdict #4): a training-data pipeline rarely asks
+# one vector at a time — it kNNs a whole candidate set / eval slice. The
+# 100 TB shape is a DataFrame of queries JOINED to the corpus per bucket:
+# probe buckets are computed per query in one Arrow-batched matmul, the
+# (broadcast) query frame equi-joins the bucketed corpus, and a per-query
+# row_number window takes top-k — the corpus is never shuffled, only the
+# candidate set is.
+# --------------------------------------------------------------------------
+
+def _probe_buckets_udf(planes: np.ndarray, multiprobe_hamming: int):
+    """Arrow-batched probe-set computation: each query's sign-pattern bucket
+    plus (optionally) all single-bit flips — one BLAS matmul per batch, the
+    same sign convention as the driver-side single-query path."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = planes.shape[0]
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (nq, dim)
+        bits = (((m @ planes.T) > 0) @ weights).astype("int64")  # (nq,)
+        if multiprobe_hamming >= 1:
+            out = [[int(b)] + [int(b) ^ (1 << i) for i in range(n_planes)] for b in bits]
+        else:
+            out = [[int(b)] for b in bits]
+        return pd.Series(out)
+
+    return probes
+
+
+def _per_query_topk(
+    scored: DataFrame, k: int, qid_col: str, id_col: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def lsh_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Hyperplane-LSH top-k for a DataFrame of queries. Returns
+    (qid, id, cosine) — exactly the per-query result of ``lsh_topk`` for
+    each row of ``queries``. The query side is broadcast (queries ≪ corpus
+    by assumption); a corpus vector meets a query at most once because a
+    corpus row has ONE bucket and the probe set is distinct values — no
+    dedup pass needed."""
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+    )
+    probes = _probe_buckets_udf(planes, multiprobe_hamming)
+    qf = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+        F.explode(probes(F.col(qvec_col).cast("array<double>"))).alias("__b"),
+    )
+    qn = _norm_dim(F.col("__qv"), dim)
+    cn = _norm_dim(F.col(vec_col), dim)
+    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
+        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
+    )
+    scored = bucketed.join(F.broadcast(qf), "__b").select(
+        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
+    )
+    return _per_query_topk(scored, k, qid_col, id_col)
+
+
+def lsh_index_topk_batch(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Batch queries against the WRITE-TIME index (``build_lsh_index``).
+    The union of all probe buckets is bounded by 2^n_planes regardless of
+    query count, so it is collected driver-side (≤256 longs here) and pushed
+    as a PARTITION FILTER — the scan reads only the probed buckets' files —
+    then the per-(query, bucket) equi-join and top-k window run exactly as
+    in ``lsh_topk_batch``."""
+    dim_probe = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    probes = _probe_buckets_udf(planes, multiprobe_hamming)
+    qf = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+        F.explode(probes(F.col(qvec_col).cast("array<double>"))).alias("__b"),
+    )
+    probe_buckets = [int(r["__b"]) for r in qf.select("__b").distinct().collect()]
+    corpus = spark.read.parquet(index_dir).where(F.col("__b").isin(probe_buckets))
+    qn = _norm_dim(F.col("__qv"), dim)
+    cn = _norm_dim(F.col(vec_col), dim)
+    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
+        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
+    )
+    scored = corpus.join(F.broadcast(qf), "__b").select(
+        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
+    )
+    return _per_query_topk(scored, k, qid_col, id_col)
+
+
+# --------------------------------------------------------------------------
 # IVF (scale path #2): deterministic seeded centroids + cluster probe
 # --------------------------------------------------------------------------
 
@@ -303,6 +433,58 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.where(F.col("centroid").isin([int(p) for p in probe]))
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF probe for a DataFrame of queries: per-query nearest-``n_probe``
+    cells via one Arrow-batched distance matmul, broadcast-joined to the
+    cell-assigned corpus, per-query top-k window. Returns (qid, id, cosine)
+    == ``ivf_topk`` row-for-row per query."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    dim_probe = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    if centroids is None:
+        rng = np.random.RandomState(seed)
+        centroids = rng.standard_normal((n_centroids, dim)) * 0.1
+    cents = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (nq, dim)
+        # squared distances to every centroid: ||q||² - 2q·c + ||c||²
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (nq, k)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    qf = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+        F.explode(probe_cells(F.col(qvec_col).cast("array<double>"))).alias("centroid"),
+    )
+    qn = _norm_dim(F.col("__qv"), dim)
+    cn = _norm_dim(F.col(vec_col), dim)
+    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
+        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
+    )
+    scored = assigned.join(F.broadcast(qf), "centroid").select(
+        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
+    )
+    return _per_query_topk(scored, k, qid_col, id_col)
 
 
 # --------------------------------------------------------------------------

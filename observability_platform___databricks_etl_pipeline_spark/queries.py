@@ -873,6 +873,89 @@ def emb_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, qv, k=20, n_planes=8)
 
 
+@_register("emb_lsh_index_topk", _emb_lsh_oracle())
+def emb_lsh_index_topk(spark, sf_dir):
+    """The WRITE-TIME LSH index end-to-end, value-hashed (r3 verdict #5 —
+    previously pytest-only): the corpus is persisted partitioned by its
+    sign bucket (``build_lsh_index``), the query's probe buckets are pushed
+    as a partition filter, and the result must equal the on-the-fly
+    ``lsh_topk`` — the oracle replays the identical plane literals, so a
+    wrong bucket written at index time, or a pruned-away file that should
+    have been probed, hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = tempfile.mkdtemp(prefix="lsh-index-gate-")
+    try:
+        build_lsh_index(emb, idx, n_planes=8)
+        out = lsh_index_topk(spark, idx, qv, k=20, n_planes=8)
+        # materialize before the index dir is removed (the plan reads it)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_BATCH_QIDS = (0, 7, 13)  # query vectors for the batch-ANN gates
+
+
+def _emb_lsh_batch_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 20) -> str:
+    # the single-query plane-literal oracle extended to a SET of queries:
+    # per-query probe (hamming<=1 on the same sign buckets) + per-query
+    # row_number top-k — checks the bucketing AND the per-query ranking
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qids = ", ".join(str(q) for q in _BATCH_QIDS)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {terms} AS bk FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bk AS qbk FROM b WHERE vec_id IN ({qids})),
+    scored AS (
+      SELECT q.qid, b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+      FROM b JOIN q
+        ON bit_count(xor(CAST(b.bk AS BIGINT), CAST(q.qbk AS BIGINT))) <= 1
+    ),
+    r AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, cosine FROM r WHERE rn <= {k}
+    """
+
+
+@_register("emb_lsh_topk_batch", _emb_lsh_batch_oracle())
+def emb_lsh_topk_batch(spark, sf_dir):
+    """BATCH-of-queries LSH ANN (r3 verdict #4): a DataFrame of query
+    vectors broadcast-joined to the bucketed corpus per probe bucket, one
+    top-k window per query — the corpus is never shuffled. Result ==
+    per-query ``lsh_topk``, pinned by the extended plane-literal oracle."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import lsh_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_BATCH_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = lsh_topk_batch(emb, queries, k=20, n_planes=8)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+    )
+
+
 def _emb_ivf_oracle(n_centroids: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 7, k: int = 20) -> str:
     # mirrors ivf_topk exactly: same centroid literals, element-order-exact
     # squared distances (list ops fold in index order on both engines),
@@ -923,6 +1006,77 @@ def emb_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return ivf_topk(emb, qv, k=20, n_centroids=8, n_probe=2, seed=7)
+
+
+def _emb_ivf_batch_oracle(
+    n_centroids: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 7, k: int = 20
+) -> str:
+    # _emb_ivf_oracle generalized to a query SET: per-(qid, centroid)
+    # distances, per-qid probe ranking, per-qid top-k
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, dim)) * 0.1
+    lits = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    d_exprs = [
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (v[i] - ({lit})[i]) * (v[i] - ({lit})[i])))"
+        for lit in lits
+    ]
+    d_cols = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d_exprs))
+    dq_rows = " UNION ALL ".join(
+        f"SELECT qid, {i} AS ci, list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (qv[i] - ({lit})[i]) * (qv[i] - ({lit})[i]))) AS d FROM q"
+        for i, lit in enumerate(lits)
+    )
+    m = "least(" + ", ".join(f"d{i}" for i in range(n_centroids)) + ")"
+    argmin = "CASE " + " ".join(
+        f"WHEN d{i} <= {m} THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    qids = ", ".join(str(q) for q in _BATCH_QIDS)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+    dists AS (SELECT vec_id, v, {d_cols} FROM e),
+    assign AS (SELECT vec_id, v, {argmin} AS c FROM dists),
+    cd AS ({dq_rows}),
+    probe AS (
+      SELECT qid, ci FROM (
+        SELECT qid, ci, row_number() OVER (PARTITION BY qid ORDER BY d, ci) AS rn FROM cd
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id,
+             round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+      FROM assign a JOIN probe p ON a.c = p.ci JOIN q ON q.qid = p.qid
+    ),
+    r AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, cosine FROM r WHERE rn <= {k}
+    """
+
+
+@_register("emb_ivf_topk_batch", _emb_ivf_batch_oracle())
+def emb_ivf_topk_batch(spark, sf_dir):
+    """BATCH-of-queries IVF ANN: per-query nearest-cell probe via one
+    Arrow-batched distance matmul, broadcast-joined to the cell-assigned
+    corpus, per-query top-k window. Oracle replays the same centroid
+    literals per (query, cell)."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import ivf_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_BATCH_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk_batch(emb, queries, k=20, n_centroids=8, n_probe=2, seed=7)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+    )
 
 
 _NEARDUP_PERT = 50  # vec_id < 50 get a perturbed twin at vec_id + 100000

@@ -116,3 +116,67 @@ def test_lsh_write_time_index_prunes_and_matches(spark, sf_dir, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__b" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_batch_topk_equals_per_query(spark, vecs):
+    """lsh_topk_batch / ivf_topk_batch over a queries DataFrame must equal
+    the single-query paths row-for-row per qid (same buckets/cells probed,
+    same rounded cosines, same tie order)."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        ivf_topk_batch,
+        lsh_topk_batch,
+    )
+
+    df, m = vecs
+    qids = [3, 11, 42]
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    got_lsh = lsh_topk_batch(df, queries, k=5, n_planes=6)
+    for qid in qids:
+        q = [float(x) for x in m[qid]]
+        want = [(r["vec_id"], r["cosine"]) for r in lsh_topk(df, q, k=5, n_planes=6).collect()]
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in got_lsh.where(F.col("qid") == qid).orderBy(F.desc("cosine"), "vec_id").collect()
+        ]
+        assert got == want, f"lsh batch != single for qid={qid}"
+
+    got_ivf = ivf_topk_batch(df, queries, k=5, n_centroids=4, n_probe=2)
+    for qid in qids:
+        q = [float(x) for x in m[qid]]
+        want = [(r["vec_id"], r["cosine"]) for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()]
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in got_ivf.where(F.col("qid") == qid).orderBy(F.desc("cosine"), "vec_id").collect()
+        ]
+        assert got == want, f"ivf batch != single for qid={qid}"
+
+
+def test_batch_index_topk_prunes_and_matches(spark, sf_dir, tmp_path):
+    """lsh_index_topk_batch == lsh_topk_batch over the same corpus, with the
+    probed buckets pushed as partition filters (scan never lists the rest)."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk_batch,
+        lsh_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = str(tmp_path / "lsh-index-b")
+    build_lsh_index(emb, idx, n_planes=6)
+    got = lsh_index_topk_batch(spark, idx, queries, k=10, n_planes=6)
+    want = lsh_topk_batch(emb, queries, k=10, n_planes=6)
+    assert sorted([tuple(r) for r in got.collect()], key=lambda t: (t[0], -t[2], t[1])) == \
+           sorted([tuple(r) for r in want.collect()], key=lambda t: (t[0], -t[2], t[1]))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__b" in plan.split("PartitionFilters", 1)[1][:200]
