@@ -5,12 +5,13 @@ columns next to typed metadata structs; decode / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so each task streams record batches and
 never materializes a partition of raw media in Python at once.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernels are stubs: ``decode_image_meta`` parses only magic bytes +
-container headers it can do with stdlib ``struct`` (PNG/JPEG dims — real), and
-``extract_features`` produces a deterministic fake embedding (sha256-seeded)
-clearly marked as a stand-in. The Spark-side plumbing — schema, batch
-iteration, partition sizing — is real and tested.
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container. HEADER
+metadata is fully real — stdlib ``struct`` parses of PNG IHDR and JPEG SOF
+dimensions, WAV ``fmt ``/``data`` chunks (sample rate, channels, bit depth,
+duration) and MP4 ``moov/mvhd`` (timescale → duration) — so only PIXEL/PCM
+decode remains a stub: ``extract_features`` produces a deterministic fake
+embedding (sha256-seeded) clearly marked as a stand-in. The Spark-side
+plumbing — schema, batch iteration, partition sizing — is real and tested.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from pyspark.sql.types import (
     ArrayType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -38,6 +40,11 @@ MEDIA_META_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_bytes", IntegerType()),
+        # audio/video header metadata (null for still images)
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
     ]
 )
 
@@ -68,26 +75,128 @@ def _png_dims(b: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+# SOF markers carrying frame dimensions (excluding DHT C4 / JPG C8 / DAC CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(b: bytes) -> tuple[int | None, int | None]:
+    """Walk JPEG marker segments to the first SOFn: (height, width) live at
+    bytes 1-4 of its payload (after the precision byte)."""
+    i = 2  # skip SOI
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None, None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone markers have no length field
+            continue
+        if i + 4 > n:
+            return None, None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            if i + 9 <= n:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h)
+            return None, None
+        if marker == 0xDA:  # SOS — entropy data follows; dims were earlier
+            return None, None
+        i += 2 + seg_len
+    return None, None
+
+
+def _wav_meta(b: bytes) -> tuple[int | None, int | None, int | None, int | None]:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from the RIFF
+    ``fmt `` chunk + ``data`` chunk size — stdlib struct only, no codec."""
+    rate = ch = bits = byte_rate = data_size = None
+    i = 12  # past RIFF<size>WAVE
+    n = len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csize = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            _fmt, ch, rate, byte_rate = struct.unpack("<HHII", b[i + 8 : i + 20])
+            if i + 24 <= n:
+                bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    dur = None
+    if data_size is not None and byte_rate:
+        dur = int(data_size * 1000 // byte_rate)
+    return (
+        int(rate) if rate else None,
+        int(ch) if ch else None,
+        int(bits) if bits else None,
+        dur,
+    )
+
+
+def _mp4_duration_ms(b: bytes) -> int | None:
+    """moov/mvhd timescale + duration → milliseconds. Only walks box
+    headers (size/type), never media data."""
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            typ = b[i + 4 : i + 8]
+            if size < 8:
+                return
+            yield typ, i + 8, min(i + size, hi)
+            i += size
+
+    for typ, lo, hi in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, l2, h2 in boxes(lo, hi):
+            if t2 != b"mvhd" or h2 - l2 < 20:
+                continue
+            version = b[l2]
+            if version == 1 and h2 - l2 >= 28:
+                timescale = struct.unpack(">I", b[l2 + 20 : l2 + 24])[0]
+                duration = struct.unpack(">Q", b[l2 + 24 : l2 + 32])[0]
+            else:
+                timescale = struct.unpack(">I", b[l2 + 12 : l2 + 16])[0]
+                duration = struct.unpack(">I", b[l2 + 16 : l2 + 20])[0]
+            if timescale:
+                return int(duration * 1000 // timescale)
+    return None
+
+
 def decode_image_meta(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
     """mapInPandas stage: binary payload → typed metadata struct columns.
 
-    Header parsing (magic bytes, PNG IHDR) is real; full pixel decode would
-    require PIL and raises NotImplementedError via ``decode_pixels``.
+    Header parsing is REAL for every supported container — PNG IHDR + JPEG
+    SOF dimensions, WAV fmt/data (rate, channels, bit depth, duration), MP4
+    mvhd (duration) — all stdlib ``struct``; only full pixel/PCM decode
+    requires codecs and raises NotImplementedError via ``decode_pixels``.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payload = pdf[bin_col]
             fmts, widths, heights = [], [], []
+            rates, chans, bits_l, durs = [], [], [], []
             for b in payload:
                 b = bytes(b) if b is not None else b""
                 fmt = _sniff_format(b)
-                w = h = None
+                w = h = rate = ch = bits = dur = None
                 if fmt == "png":
                     w, h = _png_dims(b)
+                elif fmt == "jpeg":
+                    w, h = _jpeg_dims(b)
+                elif fmt == "wav":
+                    rate, ch, bits, dur = _wav_meta(b)
+                elif fmt == "mp4":
+                    dur = _mp4_duration_ms(b)
                 fmts.append(fmt)
                 widths.append(w)
                 heights.append(h)
+                rates.append(rate)
+                chans.append(ch)
+                bits_l.append(bits)
+                durs.append(dur)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype(str),
@@ -97,6 +206,10 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id", bin_col: str = "p
                     "n_bytes": payload.map(lambda x: len(x) if x is not None else 0).astype(
                         "int32"
                     ),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "bits_per_sample": pd.array(bits_l, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
                 }
             )
 

@@ -1557,13 +1557,15 @@ def cdc_ingest_rollup(spark, sf_dir):
     value-hashed against a windowed DuckDB replay. Batch ids map to chunks
     via the commit-manifest lineage."""
     eng = _entry_engine(spark)
-    chunk_of = F.lit(None).cast("long")
-    for man in eng.lineage():
-        chunk_of = F.when(
-            F.col("batch_id") == man["batch_id"], F.lit(man["metrics"]["chunk"])
-        ).otherwise(chunk_of)
-    return eng.ingest_metrics().select(
-        chunk_of.cast("long").alias("chunk"),
+    # batch→chunk via a small broadcast JOIN, not an O(batches)-deep chained
+    # when() — the literal expression tree hits Catalyst's analysis wall at
+    # 10^4 batches (r3 verdict; same trap as the r2 hyperplane fold)
+    mapping = spark.createDataFrame(
+        [(man["batch_id"], int(man["metrics"]["chunk"])) for man in eng.lineage()],
+        "batch_id string, chunk long",
+    )
+    return eng.ingest_metrics().join(F.broadcast(mapping), "batch_id").select(
+        F.col("chunk").cast("long").alias("chunk"),
         "repo",
         F.col("events").cast("long").alias("events"),
         F.col("inserts").cast("long").alias("inserts"),
@@ -1978,7 +1980,9 @@ def doc_tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # O(1) scalar, both engines see the same N
+    # corpus size as a BROADCAST scalar inside the same plan — not a
+    # separate docs.count() action (r3 verdict: an avoidable extra job)
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
     terms = (
         docs.select(
             "doc_id",
@@ -1990,8 +1994,11 @@ def doc_tfidf_top_terms(spark, sf_dir):
         .where(F.col("term") != "")
     )
     tf = terms.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tf.groupBy("term").agg(
-        F.expr(f"div(1000000 * ({n_docs} - count(DISTINCT doc_id)), {n_docs})").alias("idf_fp")
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select("term", F.expr("div(1000000 * (__n - df), __n)").alias("idf_fp"))
     )
     score = (
         tf.join(idf, "term")

@@ -100,3 +100,47 @@ def test_multimodal_stubs(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
     frames = sample_frames(df, every_n=1).collect()
     assert len(frames) >= 2
+
+
+def test_multimodal_header_metadata_real(spark):
+    """WAV/MP4/JPEG header metadata is parsed for real with stdlib struct
+    (r3 verdict #7) — only pixel/PCM decode remains stubbed."""
+    import struct as _s
+
+    from observability_platform___databricks_etl_pipeline_spark.functions.multimodal import (
+        decode_image_meta,
+    )
+
+    # 16-bit stereo 8kHz WAV with 1600 bytes of data → 50 ms
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 8000 * 2 * 2, 4, 16)
+    wav = (
+        b"RIFF" + _s.pack("<I", 36 + 1600) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + fmt
+        + b"data" + _s.pack("<I", 1600) + b"\0" * 1600
+    )
+    # minimal MP4: ftyp + moov>mvhd v0 (timescale 1000, duration 2500 → 2500 ms)
+    ftyp = _s.pack(">I", 16) + b"ftypisom" + b"\0" * 4
+    mvhd_body = b"\0\0\0\0" + _s.pack(">II", 0, 0) + _s.pack(">II", 1000, 2500) + b"\0" * 80
+    mvhd = _s.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = _s.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    mp4 = ftyp + moov
+    # JPEG with SOF0: 320x240
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\0" + b"\0" * 9          # APP0
+        + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 240, 320) + b"\x03" + b"\0" * 2
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("v1", bytearray(mp4)), ("i1", bytearray(jpg))],
+        ["media_id", "payload"],
+    )
+    meta = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    a = meta["a1"]
+    assert a["format"] == "wav" and a["sample_rate"] == 8000 and a["channels"] == 2
+    assert a["bits_per_sample"] == 16 and a["duration_ms"] == 50
+    v = meta["v1"]
+    assert v["format"] == "mp4" and v["duration_ms"] == 2500
+    i = meta["i1"]
+    assert i["format"] == "jpeg" and i["width"] == 320 and i["height"] == 240
+    assert i["sample_rate"] is None and i["duration_ms"] is None
