@@ -194,3 +194,12 @@ def test_bucket_expr_matches_hashpartitioning(spark, sf01_dir):
         assert got.where("pid <> bk").count() == 0
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def test_batch_ann_broadcasts_queries_not_corpus(spark, sf01_dir):
+    """lsh_topk_batch must plan the query×corpus join as a BROADCAST of the
+    (tiny) query frame — the corpus side is never shuffled for the join; the
+    only corpus exchange is the per-qid top-k window over the candidate set."""
+    plan = QUERIES["emb_lsh_topk_batch"](spark, sf01_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus is never shuffled for the join
