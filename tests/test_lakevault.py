@@ -352,3 +352,85 @@ def test_manifest_stats_harvest_distributed_matches_driver(spark, tmp_path):
              manifest={"batch_id": "many"})
     assert v.scan().count() == 2000
     assert sum(f["rows"] for f in v.snapshot().files) == 2000
+
+
+def test_lifecycle_property_commits_compact_expire(spark, tmp_path):
+    """Model-checked lifecycle: a deterministic pseudo-random interleaving of
+    COW bucket-replaces, MOR delta-appends, bucket-scoped compactions,
+    full compactions and expiries must always read back exactly the model's
+    LWW state (key -> last_seq winner), and expiry must never delete a file
+    a live snapshot still references."""
+    import os as _os
+    import random as _random
+
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    rng = _random.Random(1234)
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("repo", "string"), ("path", "string"),
+                                       ("content_sha256", "string"), ("last_seq", "long"),
+                                       ("is_deleted", "boolean")],
+                         key_cols=("repo", "path"), n_buckets=4)
+    model: dict[tuple[str, str], int] = {}
+    seq = 0
+
+    def write_batch(delta: bool, i: int):
+        nonlocal seq
+        keys = [(f"r{rng.randrange(6)}", f"p{rng.randrange(12)}") for _ in range(rng.randrange(3, 9))]
+        rows = []
+        for repo, path in keys:
+            seq += 1
+            model[(repo, path)] = seq
+            rows.append((repo, path, f"sha{seq}", seq, False))
+        df = spark.createDataFrame(
+            rows, "repo string, path string, content_sha256 string, last_seq long, is_deleted boolean")
+        wd = v.new_write_dir(f"s{i}")
+        if delta:
+            # MOR: append only this batch's winners as delta files
+            (df.withColumn("__bucket", v.bucket_expr())
+               .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+            v.commit(add_write_dir=wd, replace_buckets=[], batch_id=f"b{i}",
+                     manifest={"i": i}, delta=True, summary={"operation": "merge"})
+        else:
+            # COW: merge batch over the affected buckets' current rows
+            buckets = sorted({r["b"] for r in
+                              df.select(v.bucket_expr().alias("b")).distinct().collect()})
+            existing = v.scan(buckets=buckets)
+            merged = (existing.unionByName(df)
+                      .groupBy("repo", "path")
+                      .agg(F.max_by(F.struct("content_sha256", "last_seq", "is_deleted"),
+                                    F.col("last_seq")).alias("w"))
+                      .select("repo", "path", "w.content_sha256", "w.last_seq", "w.is_deleted"))
+            (merged.withColumn("__bucket", v.bucket_expr())
+                   .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+            v.commit(add_write_dir=wd, replace_buckets=buckets, batch_id=f"b{i}",
+                     manifest={"i": i}, summary={"operation": "merge"})
+
+    def check():
+        got = {(r["repo"], r["path"]): r["last_seq"] for r in v.scan().collect()}
+        assert got == model, (
+            f"state diverged: extra={set(got) - set(model)} missing={set(model) - set(got)} "
+            f"wrong={[k for k in got if k in model and got[k] != model[k]][:5]}"
+        )
+        # no dangling references: every live snapshot's files exist on disk
+        for sid in v.snapshot_ids():
+            for f in v.snapshot(sid).files:
+                assert _os.path.exists(_os.path.join(root, f["path"])), (sid, f["path"])
+
+    for i in range(24):
+        op = rng.random()
+        if op < 0.45:
+            write_batch(delta=True, i=i)
+        elif op < 0.8:
+            write_batch(delta=False, i=i)
+        elif op < 0.9:
+            v.compact(buckets=[rng.randrange(4)])
+        else:
+            v.compact()
+        if rng.random() < 0.4:
+            v.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+        check()
+    v.expire_snapshots(keep_last=1)
+    check()
