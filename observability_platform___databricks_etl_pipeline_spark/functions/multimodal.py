@@ -114,9 +114,12 @@ def _wav_meta(b: bytes) -> tuple[int | None, int | None, int | None, int | None]
     while i + 8 <= n:
         cid = b[i : i + 4]
         csize = struct.unpack("<I", b[i + 4 : i + 8])[0]
-        if cid == b"fmt " and i + 24 <= n:
+        if cid == b"fmt " and csize >= 12 and i + 20 <= n:
             _fmt, ch, rate, byte_rate = struct.unpack("<HHII", b[i + 8 : i + 20])
-            if i + 24 <= n:
+            # wBitsPerSample exists only in the >=16-byte fmt layout; a
+            # legacy 14-byte WAVE_FORMAT chunk must not read into the next
+            # chunk's header
+            if csize >= 16 and i + 24 <= n:
                 bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
         elif cid == b"data":
             data_size = csize
@@ -134,33 +137,56 @@ def _wav_meta(b: bytes) -> tuple[int | None, int | None, int | None, int | None]
 
 def _mp4_duration_ms(b: bytes) -> int | None:
     """moov/mvhd timescale + duration → milliseconds. Only walks box
-    headers (size/type), never media data."""
+    headers (size/type), never media data. Handles the 64-bit ``largesize``
+    encoding (size==1, standard for >4 GB mdat — exactly the large-media
+    shape this path targets) and size==0 ("box extends to end of file");
+    any malformed box degrades to None, never an exception (one corrupt
+    file must not fail a whole mapInPandas task)."""
 
     def boxes(lo: int, hi: int):
         i = lo
         while i + 8 <= hi:
             size = struct.unpack(">I", b[i : i + 4])[0]
             typ = b[i + 4 : i + 8]
-            if size < 8:
+            payload = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    return
+                size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+                payload = i + 16
+                if size < 16:
+                    return
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - i
+            elif size < 8:
                 return
-            yield typ, i + 8, min(i + size, hi)
+            yield typ, payload, min(i + size, hi)
             i += size
 
-    for typ, lo, hi in boxes(0, len(b)):
-        if typ != b"moov":
-            continue
-        for t2, l2, h2 in boxes(lo, hi):
-            if t2 != b"mvhd" or h2 - l2 < 20:
+    try:
+        for typ, lo, hi in boxes(0, len(b)):
+            if typ != b"moov":
                 continue
-            version = b[l2]
-            if version == 1 and h2 - l2 >= 28:
-                timescale = struct.unpack(">I", b[l2 + 20 : l2 + 24])[0]
-                duration = struct.unpack(">Q", b[l2 + 24 : l2 + 32])[0]
-            else:
-                timescale = struct.unpack(">I", b[l2 + 12 : l2 + 16])[0]
-                duration = struct.unpack(">I", b[l2 + 16 : l2 + 20])[0]
-            if timescale:
-                return int(duration * 1000 // timescale)
+            for t2, l2, h2 in boxes(lo, hi):
+                if t2 != b"mvhd":
+                    continue
+                version = b[l2] if h2 - l2 >= 1 else None
+                if version == 1:
+                    if h2 - l2 < 32:
+                        return None  # truncated v1 body — never misparse as v0
+                    timescale = struct.unpack(">I", b[l2 + 20 : l2 + 24])[0]
+                    duration = struct.unpack(">Q", b[l2 + 24 : l2 + 32])[0]
+                elif version == 0:
+                    if h2 - l2 < 20:
+                        return None
+                    timescale = struct.unpack(">I", b[l2 + 12 : l2 + 16])[0]
+                    duration = struct.unpack(">I", b[l2 + 16 : l2 + 20])[0]
+                else:
+                    return None
+                if timescale:
+                    return int(duration * 1000 // timescale)
+    except (struct.error, IndexError):
+        return None
     return None
 
 

@@ -247,11 +247,54 @@ def _probe_buckets_udf(planes: np.ndarray, multiprobe_hamming: int):
     return probes
 
 
-def _per_query_topk(
-    scored: DataFrame, k: int, qid_col: str, id_col: str
+def _query_dim(queries: DataFrame, qvec_col: str) -> int:
+    row = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+def _query_probe_frame(
+    queries: DataFrame, qid_col: str, qvec_col: str, probes, dim: int
 ) -> DataFrame:
+    """(qid, __qv, join-key) rows, one per probe target. Null / wrong-length
+    query vectors are dropped BEFORE the Arrow UDF — np.stack on a ragged
+    batch would fail the whole job (same skip-the-row rule as
+    ``embedding_neardup_pairs``)."""
+    qv = F.col(qvec_col).cast("array<double>")
+    return (
+        queries.where(qv.isNotNull() & (F.size(qv) == F.lit(dim)))
+        .select(
+            F.col(qid_col),
+            qv.alias("__qv"),
+            F.explode(probes(qv)).alias("__probe"),
+        )
+    )
+
+
+def _score_topk_per_query(
+    corpus: DataFrame,
+    qf: DataFrame,
+    join_key: str,
+    dim: int,
+    k: int,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared batch-ANN tail: broadcast the (small) probe frame, equi-join
+    on the bucket/cell key, exact cosine (dim-unrolled IEEE order + the
+    zero-norm guard — the one copy the oracles must match), per-query
+    row_number top-k. The corpus side is never shuffled for the join; only
+    the candidate set moves for the window."""
     from pyspark.sql import Window
 
+    qn = _norm_dim(F.col("__qv"), dim)
+    cn = _norm_dim(F.col(vec_col), dim)
+    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
+        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
+    )
+    scored = corpus.join(
+        F.broadcast(qf.withColumnRenamed("__probe", join_key)), join_key
+    ).select(F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -277,30 +320,20 @@ def lsh_topk_batch(
     each row of ``queries``. The query side is broadcast (queries ≪ corpus
     by assumption); a corpus vector meets a query at most once because a
     corpus row has ONE bucket and the probe set is distinct values — no
-    dedup pass needed."""
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    dedup pass needed. The plane dimension comes from the QUERIES frame
+    (like the single-query path's ``len(query)``), so an empty corpus
+    yields an empty result, not a shape error."""
+    dim = _query_dim(queries, qvec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
         rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
     )
-    probes = _probe_buckets_udf(planes, multiprobe_hamming)
-    qf = queries.select(
-        F.col(qid_col),
-        F.col(qvec_col).cast("array<double>").alias("__qv"),
-        F.explode(probes(F.col(qvec_col).cast("array<double>"))).alias("__b"),
+    qf = _query_probe_frame(
+        queries, qid_col, qvec_col, _probe_buckets_udf(planes, multiprobe_hamming), dim
     )
-    qn = _norm_dim(F.col("__qv"), dim)
-    cn = _norm_dim(F.col(vec_col), dim)
-    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
-        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
-    )
-    scored = bucketed.join(F.broadcast(qf), "__b").select(
-        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
-    )
-    return _per_query_topk(scored, k, qid_col, id_col)
+    return _score_topk_per_query(bucketed, qf, "__b", dim, k, qid_col, id_col, vec_col)
 
 
 def lsh_index_topk_batch(
@@ -321,27 +354,17 @@ def lsh_index_topk_batch(
     query count, so it is collected driver-side (≤256 longs here) and pushed
     as a PARTITION FILTER — the scan reads only the probed buckets' files —
     then the per-(query, bucket) equi-join and top-k window run exactly as
-    in ``lsh_topk_batch``."""
-    dim_probe = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    in ``lsh_topk_batch``. The probe frame is localCheckpointed so the
+    Arrow probe UDF runs ONCE, not once for the bucket collect and again
+    for the join."""
+    dim = _query_dim(queries, qvec_col)
     planes = _hyperplanes(dim, n_planes, seed)
-    probes = _probe_buckets_udf(planes, multiprobe_hamming)
-    qf = queries.select(
-        F.col(qid_col),
-        F.col(qvec_col).cast("array<double>").alias("__qv"),
-        F.explode(probes(F.col(qvec_col).cast("array<double>"))).alias("__b"),
-    )
-    probe_buckets = [int(r["__b"]) for r in qf.select("__b").distinct().collect()]
+    qf = _query_probe_frame(
+        queries, qid_col, qvec_col, _probe_buckets_udf(planes, multiprobe_hamming), dim
+    ).localCheckpoint(eager=True)
+    probe_buckets = [int(r["__probe"]) for r in qf.select("__probe").distinct().collect()]
     corpus = spark.read.parquet(index_dir).where(F.col("__b").isin(probe_buckets))
-    qn = _norm_dim(F.col("__qv"), dim)
-    cn = _norm_dim(F.col(vec_col), dim)
-    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
-        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
-    )
-    scored = corpus.join(F.broadcast(qf), "__b").select(
-        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
-    )
-    return _per_query_topk(scored, k, qid_col, id_col)
+    return _score_topk_per_query(corpus, qf, "__b", dim, k, qid_col, id_col, vec_col)
 
 
 # --------------------------------------------------------------------------
@@ -455,8 +478,7 @@ def ivf_topk_batch(
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
-    dim_probe = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    dim = _query_dim(queries, qvec_col)
     if centroids is None:
         rng = np.random.RandomState(seed)
         centroids = rng.standard_normal((n_centroids, dim)) * 0.1
@@ -465,26 +487,13 @@ def ivf_topk_batch(
     @F.pandas_udf(ArrayType(LongType()))
     def probe_cells(vec: pd.Series) -> pd.Series:
         m = np.stack(vec.to_numpy()).astype("float64")  # (nq, dim)
-        # squared distances to every centroid: ||q||² - 2q·c + ||c||²
         d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (nq, k)
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype("int64").tolist() for row in order])
 
     assigned = ivf_assign(df, cents, id_col, vec_col)
-    qf = queries.select(
-        F.col(qid_col),
-        F.col(qvec_col).cast("array<double>").alias("__qv"),
-        F.explode(probe_cells(F.col(qvec_col).cast("array<double>"))).alias("centroid"),
-    )
-    qn = _norm_dim(F.col("__qv"), dim)
-    cn = _norm_dim(F.col(vec_col), dim)
-    cos = _dot_dim(F.col(vec_col), F.col("__qv"), dim) / (
-        F.when(cn == 0, 1.0).otherwise(cn) * F.when(qn == 0, 1.0).otherwise(qn)
-    )
-    scored = assigned.join(F.broadcast(qf), "centroid").select(
-        F.col(qid_col), F.col(id_col), F.round(cos, 6).alias("cosine")
-    )
-    return _per_query_topk(scored, k, qid_col, id_col)
+    qf = _query_probe_frame(queries, qid_col, qvec_col, probe_cells, dim)
+    return _score_topk_per_query(assigned, qf, "centroid", dim, k, qid_col, id_col, vec_col)
 
 
 # --------------------------------------------------------------------------

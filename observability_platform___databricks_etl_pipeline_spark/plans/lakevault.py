@@ -229,6 +229,12 @@ def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any]:
                 if isinstance(kmin, bytes):
                     kmin = kmin.decode("utf-8", "replace")
                     kmax = kmax.decode("utf-8", "replace")
+                if not isinstance(kmin, (str, int, float)):
+                    # non-JSON-able stat types (date/datetime/decimal key
+                    # columns): store no stats rather than crash the manifest
+                    # JSON write — pruning conservatively keeps the file.
+                    # Applies identically on the driver and executor paths.
+                    kmin = kmax = None
     except Exception:
         pass
     return rows, os.path.getsize(full), kmin, kmax
@@ -515,18 +521,19 @@ class LakeVault:
         """Footer-stat harvest as ONE parallel Spark job over the path list:
         executors open footers (pyarrow, ~KB reads), the driver collects only
         (path, rows, bytes, min, max) tuples — O(files) bytes, not O(files)
-        serial round-trips. The manifest format is unchanged."""
+        serial round-trips. Key min/max travel JSON-ENCODED through the
+        transport column so their TYPE (str vs int vs float key columns)
+        survives the typed DataFrame and the resulting manifest entries are
+        byte-identical to the driver path's (a string-coerced '9' would
+        mis-prune against a numeric key range)."""
         import pandas as pd
 
         def harvest(it):
-            def as_str(v):
-                return v if v is None or isinstance(v, str) else str(v)
-
             for pdf in it:
                 recs = []
                 for p in pdf["path"]:
                     rows, nbytes, kmin, kmax = _parquet_footer_stats(p, key0)
-                    recs.append((p, rows, nbytes, as_str(kmin), as_str(kmax)))
+                    recs.append((p, rows, nbytes, json.dumps(kmin), json.dumps(kmax)))
                 yield pd.DataFrame(
                     recs, columns=["path", "rows", "bytes", "min_key", "max_key"]
                 )
@@ -541,7 +548,8 @@ class LakeVault:
             .collect()
         )
         return {
-            r["path"]: (r["rows"], r["bytes"], r["min_key"], r["max_key"]) for r in rows
+            r["path"]: (r["rows"], r["bytes"], json.loads(r["min_key"]), json.loads(r["max_key"]))
+            for r in rows
         }
 
     def _write_manifests(

@@ -144,3 +144,48 @@ def test_multimodal_header_metadata_real(spark):
     i = meta["i1"]
     assert i["format"] == "jpeg" and i["width"] == 320 and i["height"] == 240
     assert i["sample_rate"] is None and i["duration_ms"] is None
+
+
+def test_multimodal_header_edge_cases(spark):
+    """Malformed/legacy containers degrade to None fields, never task
+    failures: 14-byte legacy WAV fmt (no bits field), MP4 with a 64-bit
+    largesize mdat before moov, truncated v1 mvhd, junk bytes."""
+    import struct as _s
+
+    from observability_platform___databricks_etl_pipeline_spark.functions.multimodal import (
+        decode_image_meta,
+    )
+
+    # legacy WAVE_FORMAT: 14-byte fmt chunk, data follows immediately
+    fmt14 = _s.pack("<HHIIH", 1, 1, 11025, 11025, 1)
+    wav14 = (
+        b"RIFF" + _s.pack("<I", 26 + 100) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 14) + fmt14
+        + b"data" + _s.pack("<I", 100) + b"\0" * 100
+    )
+    # mp4: largesize mdat (size==1 + 64-bit size) before a valid moov/mvhd v1
+    mdat = _s.pack(">I", 1) + b"mdat" + _s.pack(">Q", 24) + b"\0" * 8
+    mvhd1 = b"\x01\0\0\0" + _s.pack(">QQ", 0, 0) + _s.pack(">I", 90000) + _s.pack(">Q", 180000) + b"\0" * 76
+    mvhd = _s.pack(">I", 8 + len(mvhd1)) + b"mvhd" + mvhd1
+    moov = _s.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = _s.pack(">I", 16) + b"ftypisom" + b"\0" * 4
+    mp4_large = ftyp + mdat + moov
+    # truncated v1 mvhd (28-byte body): must yield None, not crash/misparse
+    tr_body = b"\x01\0\0\0" + b"\0" * 24
+    tr_mvhd = _s.pack(">I", 8 + len(tr_body)) + b"mvhd" + tr_body
+    tr_moov = _s.pack(">I", 8 + len(tr_mvhd)) + b"moov" + tr_mvhd
+    mp4_trunc = ftyp + tr_moov
+
+    df = spark.createDataFrame(
+        [("w", bytearray(wav14)), ("v", bytearray(mp4_large)),
+         ("t", bytearray(mp4_trunc)), ("j", bytearray(b"\x00\x01junk"))],
+        ["media_id", "payload"],
+    )
+    meta = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    w = meta["w"]
+    assert w["format"] == "wav" and w["sample_rate"] == 11025
+    assert w["bits_per_sample"] is None  # legacy fmt: no bits field, no junk read
+    assert w["duration_ms"] == 100 * 1000 // 11025
+    assert meta["v"]["duration_ms"] == 2000  # 180000 / 90000 ts = 2s, past largesize mdat
+    assert meta["t"]["duration_ms"] is None
+    assert meta["j"]["format"] == "unknown"

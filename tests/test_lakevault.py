@@ -434,3 +434,39 @@ def test_lifecycle_property_commits_compact_expire(spark, tmp_path):
         check()
     v.expire_snapshots(keep_last=1)
     check()
+
+
+def test_distributed_harvest_preserves_numeric_key_stats(spark, tmp_path):
+    """min/max key stats must keep their TYPE through the distributed
+    harvest (JSON transport): a numeric first key column stored as '9'/'100'
+    strings would mis-prune lexicographically against key ranges."""
+    import os as _os
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, [("k", "long"), ("path", "string"),
+                                       ("last_seq", "long")],
+                         key_cols=("k", "path"), n_buckets=4)
+    df = spark.range(600).selectExpr("id k", "concat('p', id) path", "id last_seq")
+    wd = v.new_write_dir("nk")
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(40).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    n_files = sum(1 for dp, _dn, fns in _os.walk(wd) for f in fns if f.endswith(".parquet"))
+    assert n_files > v._STAT_HARVEST_DRIVER_MAX  # distributed path active
+
+    key = lambda e: e["path"]
+    dist = sorted(v._register_written_files(wd, 0), key=key)
+    try:
+        v._STAT_HARVEST_DRIVER_MAX = 10**9
+        drv = sorted(v._register_written_files(wd, 0), key=key)
+    finally:
+        del v.__dict__["_STAT_HARVEST_DRIVER_MAX"]
+    assert dist == drv
+    assert all(isinstance(e["min_key"], int) for e in dist if e["min_key"] is not None)
+
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="nk", manifest={})
+    # numeric key-range pruning works end-to-end (superset guarantee + filter)
+    import pyspark.sql.functions as F
+    got = v.scan(key_range=(5, 9)).where(F.col("k").between(5, 9)).count()
+    assert got == 5

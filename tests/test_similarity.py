@@ -180,3 +180,32 @@ def test_batch_index_topk_prunes_and_matches(spark, sf_dir, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__b" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_batch_topk_skips_null_and_ragged_queries(spark, vecs):
+    """Null / wrong-length query vectors are dropped, not job failures —
+    the remaining queries still return their exact per-query results; an
+    EMPTY corpus yields an empty frame (dim comes from the queries side)."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        ivf_topk_batch,
+        lsh_topk_batch,
+    )
+
+    df, m = vecs
+    good = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])], "qid long, qvec array<double>"
+    )
+    queries = good.unionByName(bad)
+    got = lsh_topk_batch(df, queries, k=5, n_planes=6)
+    qids = {r["qid"] for r in got.collect()}
+    assert qids == {3}
+    got_ivf = ivf_topk_batch(df, queries, k=5, n_centroids=4, n_probe=2)
+    assert {r["qid"] for r in got_ivf.collect()} == {3}
+
+    empty = df.where(F.lit(False))
+    assert lsh_topk_batch(empty, queries, k=5, n_planes=6).count() == 0
