@@ -46,6 +46,7 @@ HEADLINE = [
     "doc_quality",
     "emb_cosine_topk",
     "emb_neardup_pairs",
+    "emb_lsh_topk_batch",
 ]
 
 

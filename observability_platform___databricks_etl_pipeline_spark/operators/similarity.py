@@ -122,7 +122,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def rhp_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-pattern bucket id from n random hyperplanes (native fold per plane)."""
+    """Sign-pattern bucket id from n random hyperplanes (native fold per
+    plane). Kept as the pure-Catalyst reference implementation; the hot
+    paths use ``_corpus_bucket_udf`` — the n_planes × dim literal tree costs
+    more in driver-side analysis than the scan it decorates (the r2/r3
+    Catalyst-literal-tree lesson), while one Arrow matmul per batch is
+    ~free. Sign agreement between the two (and DuckDB's list_dot_product
+    order) is a non-issue in practice: a disagreement needs |dot| within
+    ~1e-15·||v||·||p|| of zero; the gate corpus' closest margin is 5e-5."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)).cast("double") for x in plane])
@@ -131,6 +138,29 @@ def rhp_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
         )
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def _corpus_bucket_udf(planes: np.ndarray):
+    """Arrow-batched corpus bucketing: ONE BLAS matmul per record batch
+    replaces the n_planes × dim literal fold tree. Callers must pre-filter
+    null / wrong-length vectors (np.stack on a ragged batch fails the
+    task — same skip-the-row contract as everywhere else in this module)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    weights = (1 << np.arange(planes.shape[0])).astype("int64")
+
+    @F.pandas_udf(LongType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        return pd.Series((((m @ planes.T) > 0) @ weights).astype("int64"))
+
+    return bucket
+
+
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.where(v.isNotNull() & (F.size(v) == F.lit(dim)))
 
 
 def lsh_topk(
@@ -153,7 +183,9 @@ def lsh_topk(
     probe = [qbits]
     if multiprobe_hamming >= 1:
         probe += [qbits ^ (1 << i) for i in range(n_planes)]
-    bucketed = df.withColumn("__b", rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes))
+    bucketed = _valid_vectors(df, vec_col, len(q)).withColumn(
+        "__b", _corpus_bucket_udf(planes)(F.col(vec_col).cast("array<double>"))
+    )
     cand = bucketed.where(F.col("__b").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
@@ -176,10 +208,11 @@ def build_lsh_index(
     dim = int(dim_probe[0]["d"]) if dim_probe else 0
     planes = _hyperplanes(dim, n_planes, seed)
     (
-        df.select(
+        _valid_vectors(df, vec_col, dim)
+        .select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
-            rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+            _corpus_bucket_udf(planes)(F.col(vec_col).cast("array<double>")).alias("__b"),
         )
         .write.mode("overwrite")
         .partitionBy("__b")
@@ -325,10 +358,10 @@ def lsh_topk_batch(
     yields an empty result, not a shape error."""
     dim = _query_dim(queries, qvec_col)
     planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = df.select(
+    bucketed = _valid_vectors(df, vec_col, dim).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
-        rhp_bucket_expr(F.col(vec_col).cast("array<double>"), planes).alias("__b"),
+        _corpus_bucket_udf(planes)(F.col(vec_col).cast("array<double>")).alias("__b"),
     )
     qf = _query_probe_frame(
         queries, qid_col, qvec_col, _probe_buckets_udf(planes, multiprobe_hamming), dim
@@ -536,7 +569,16 @@ def embedding_neardup_pairs(
     (bit-identical IEEE fold order — the brute-force oracle keeps matching);
     the 1e-9 margin dwarfs the ~1e-14 BLAS-vs-fold associativity gap, so the
     prefilter can only admit extras for the exact filter to drop, never lose
-    a true pair."""
+    a true pair.
+
+    Sizing rule at scale: a sweep task holds ONE (table, bucket) group's
+    vectors (≈ |corpus| / 2^n_planes rows × dim doubles) — choose
+    ``n_planes`` so that fits executor task memory (e.g. 1B vectors × 64
+    dims wants ≥12 planes → ≤244k rows ≈ 125 MB per group; recall lost to
+    narrower buckets is bought back with ``n_tables``). The same parameter
+    already controls candidate volume, so this is the knob the operator is
+    tuned by anyway; the blocked gram adds only O(block × |bucket|) on
+    top of the group's own vectors."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
