@@ -212,9 +212,6 @@ def write_wal(df: DataFrame, wal_dir: str, chunk_size: int = 100_000) -> list[in
         .partitionBy("chunk")
         .parquet(wal_dir)
     )
-    chunks = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(wal_dir)
-        if d.startswith("chunk=") and d.split("=", 1)[1].lstrip("-").isdigit()
-    )
-    return chunks
+    from observability_platform___databricks_etl_pipeline_spark.sources.wal import list_chunks
+
+    return list_chunks(wal_dir)

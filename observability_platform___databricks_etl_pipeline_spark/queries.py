@@ -455,7 +455,7 @@ _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     "doc_exact_dedup",
     f"""
     SELECT min(doc_id) AS doc_id, sha256({_NORM}) AS content_hash, count(*) AS n_copies
-    FROM documents GROUP BY 2
+    FROM documents WHERE text IS NOT NULL GROUP BY 2
     """,
 )
 def doc_exact_dedup(spark, sf_dir):

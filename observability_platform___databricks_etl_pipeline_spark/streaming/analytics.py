@@ -10,8 +10,12 @@ the hourly batch.
 
 Both operators are deterministic under ``availableNow`` + ordered input
 files, which lets the driver gate hash-verify STREAMING results against a
-plain SQL oracle: a pair of far-future sentinel rows (filtered from the
-output) advances the watermark past every real event, so append mode emits
+plain SQL oracle: a pair of far-future sentinel rows pushes the watermark
+past every real event. The sessionizer filters its sentinel session itself
+(nothing can push a predicate through the pandas stateful op); the rollup
+and dedup sinks still CONTAIN sentinel rows — callers filter on
+SENTINEL_TYPE/SENTINEL_USER — because a grouping-column filter inside the
+operator gets pushed below the watermark node and stalls it, so append mode emits
 exactly the complete, finalized result set.
 
 Scale notes (100 TB): the windowed rollup is a standard watermarked
@@ -79,6 +83,12 @@ def stage_ordered_events(
     shutil.rmtree(tmp, ignore_errors=True)
 
     max_ts = ev.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        raise ValueError(
+            "stage_ordered_events: events frame has no non-null timestamps — "
+            "sentinels would carry null event time, the watermark would never "
+            "advance, and the append-mode sink would emit nothing readable"
+        )
     for s in range(n_sentinels):
         row = spark.createDataFrame(
             [(-(s + 1), SENTINEL_USER, SENTINEL_TYPE, 0.0, None)],
@@ -145,6 +155,12 @@ def windowed_rollup_stream(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_fp")
     )
+    # NOTE: sentinel rows are NOT filtered here by design — a filter on the
+    # grouping column is deterministic and Catalyst pushes it below the
+    # EventTimeWatermark node, so the sentinels would never advance the
+    # watermark and the tail windows would never be emitted (verified:
+    # adding the where() here dropped the last 8 windows in the parity
+    # test). Callers read the sink with event_type != SENTINEL_TYPE.
     q = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)
@@ -196,8 +212,15 @@ def sessionize_stream(
             ts.extend(old_ts)
             val.extend(old_val)
         for pdf in pdf_iter:
-            ts.extend(pdf["ts"].astype("datetime64[ns]").astype("int64").tolist())
-            val.extend(pdf["value"].astype("float64").tolist())
+            # null-safe: a null ts cannot be placed in time (drop the row,
+            # matching what a watermarked agg would do); a null value counts
+            # the event but contributes 0 to the sum — the same semantics as
+            # F.count + F.sum in the windowed rollup. Without this, one null
+            # value made math.floor(NaN) kill the whole streaming query.
+            tcol = pdf["ts"].astype("datetime64[ns]")
+            mask = tcol.notna()
+            ts.extend(tcol[mask].astype("int64").tolist())
+            val.extend(pdf["value"][mask].astype("float64").fillna(0.0).tolist())
         if not ts:
             state.remove()
             return
@@ -253,6 +276,7 @@ def sessionize_stream(
         .applyInPandasWithState(
             fn, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
         )
+        .where(F.col("user_id") != SENTINEL_USER)
     )
     q = (
         sessions.writeStream.format("parquet")
@@ -284,6 +308,10 @@ def dedup_stream(
     reference's dedup-on-ingest."""
     src = _read_stream(spark, events_dir, max_files_per_trigger).withWatermark("ts", watermark)
     q = (
+        # sentinel filtering is the caller's job here too: the predicate
+        # would push below the watermark node (same trap as the rollup) —
+        # output rows would be unchanged, but the watermark would stop
+        # advancing and dedup state would never be GC'd on a live stream
         src.dropDuplicatesWithinWatermark(list(key_cols))
         .writeStream.format("parquet")
         .option("path", out_dir)

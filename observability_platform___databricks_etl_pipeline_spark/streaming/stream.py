@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,9 +31,19 @@ def stream_replay(
     engine: CDCEngine,
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    keep_staged: int = 64,
 ) -> None:
     """Run the WAL through Structured Streaming into the COW table, draining
-    all currently-available data synchronously (processAllAvailable)."""
+    all currently-available data synchronously (processAllAvailable).
+
+    Each micro-batch is staged as parquet under the checkpoint dir so the
+    engine's chunk path can consume it; ``keep_staged`` bounds that side
+    state — after every applied batch, committed staged dirs beyond the
+    newest ``keep_staged`` are removed (an always-on stream would otherwise
+    accumulate a second full copy of the WAL until the volume filled).
+    Retention mirrors ``CDCEngine.expire``: quarantined-row payloads older
+    than the window are traded away; the exactly-once skip set is
+    unaffected (batch ids live in the table's batch log, not here)."""
 
     from observability_platform___databricks_etl_pipeline_spark.sources.wal import chunked_schema
 
@@ -62,6 +73,18 @@ def stream_replay(
         staged = os.path.join(checkpoint_dir, f"staged-{bid}")
         df.drop("chunk").write.mode("overwrite").parquet(f"{staged}/chunk=0")
         engine._apply_chunk(staged, 0, bid)
+        if keep_staged >= 0:
+            committed = engine.vault.committed_batches()
+            olds = sorted(
+                (
+                    os.path.join(checkpoint_dir, d)
+                    for d in os.listdir(checkpoint_dir)
+                    if d.startswith("staged-") and d[len("staged-") :] in committed
+                ),
+                key=os.path.getmtime,
+            )
+            for dead in olds[: max(0, len(olds) - keep_staged)]:
+                shutil.rmtree(dead, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -232,3 +232,41 @@ def test_incremental_jaccard_pairs(spark):
     # asymmetric: the corpus-internal pair (2,6) must NOT be reported
     assert all(k[0] in (1, 3) for k in got)
     assert (3, 4) not in got
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    import pytest
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands=16"):
+        minhash_lsh_candidates(df, num_hashes=8, bands=16)  # would cross-join
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(df, num_hashes=32, bands=5)  # drops components
+    with pytest.raises(ValueError, match="bands=0"):
+        minhash_lsh_candidates(df, num_hashes=8, bands=0)
+
+
+def test_lww_dedup_rejects_colliding_count_col(spark):
+    import pytest
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
+
+    df = spark.createDataFrame([("r", 1)], "repo string, seq long")
+    with pytest.raises(ValueError, match="collides"):
+        lww_dedup(df, ["repo"], ["seq"], count_col="seq")
+
+
+def test_exact_dedup_ignores_null_text(spark):
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    # the real duplicate pair collapses; null-text rows are never grouped
+    assert out == {1: 2}

@@ -65,3 +65,23 @@ def test_stream_chunk_spanning_micro_batches(spark, tmp_path):
         for r in stream_eng.current_state().collect()
     }
     assert got == want and got
+
+
+def test_stream_replay_bounds_staged_dirs(spark, tmp_path):
+    """keep_staged bounds the per-micro-batch staging copies under the
+    checkpoint dir (an always-on stream would otherwise accumulate a second
+    full WAL); the table state and exactly-once skip set are unaffected."""
+    import os
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 3000, seed=5), wal, chunk_size=1000)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=8)
+    cp = str(tmp_path / "cp")
+    stream_replay(spark, wal, eng, cp, max_files_per_trigger=2, keep_staged=1)
+    staged = [d for d in os.listdir(cp) if d.startswith("staged-")]
+    assert len(staged) <= 1
+    assert eng.current_state().count() > 0
+    # rerun with wiped spark checkpoint: still a no-op despite swept staging
+    sid = eng.vault.current_snapshot_id()
+    stream_replay(spark, wal, eng, str(tmp_path / "cp2"), max_files_per_trigger=2, keep_staged=1)
+    assert eng.vault.current_snapshot_id() == sid

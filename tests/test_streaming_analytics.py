@@ -169,3 +169,37 @@ def test_dedup_stream_suppresses_duplicates_across_batches(spark, tmp_path):
     dedup_stream(spark, stage, out, cp, max_files_per_trigger=1)
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_sessionize_tolerates_null_value_and_ts(spark, tmp_path):
+    """One null-valued event must NOT kill the streaming query (math.floor
+    of NaN previously raised in the worker): the event counts, contributes
+    0 to the fixed-point sum; a null-ts event is dropped. Sentinel rows no
+    longer appear in the raw output — the operator filters them itself."""
+    from observability_platform___databricks_etl_pipeline_spark.streaming.analytics import (
+        sessionize_stream,
+    )
+
+    rows = [
+        _ev(1, minutes=0, user=7, value=2.0),
+        _ev(2, minutes=5, user=7, value=None),          # null value: count, add 0
+        (3, None, 7, "click", 1.0, None),               # null ts: dropped
+        _ev(4, minutes=200, user=7, value=1.5),         # second session
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    stage, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    stage_ordered_events(spark, df, stage)
+    sessionize_stream(spark, stage, out, cp, gap_s=1800)
+
+    res = spark.read.parquet(out).orderBy("session_start").collect()
+    assert [r["user_id"] for r in res] == [7, 7]        # no sentinel session in raw output
+    assert [r["n_events"] for r in res] == [2, 1]
+    assert [r["sum_value_fp"] for r in res] == [20000, 15000]
+
+
+def test_stage_ordered_events_rejects_empty_input(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([], EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="no non-null timestamps"):
+        stage_ordered_events(spark, df, str(tmp_path / "in"))
