@@ -39,7 +39,9 @@ MEDIA_META_SCHEMA = StructType(
         StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("n_bytes", IntegerType()),
+        # int64: a >2 GiB payload (the very largesize-mp4 shape the parser
+        # supports) would wrap negative in int32
+        StructField("n_bytes", LongType()),
         # audio/video header metadata (null for still images)
         StructField("sample_rate", IntegerType()),
         StructField("channels", IntegerType()),
@@ -230,7 +232,7 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id", bin_col: str = "p
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "n_bytes": payload.map(lambda x: len(x) if x is not None else 0).astype(
-                        "int32"
+                        "int64"
                     ),
                     "sample_rate": pd.array(rates, dtype="Int32"),
                     "channels": pd.array(chans, dtype="Int32"),

@@ -40,17 +40,24 @@ def asof_join(
         *on,
         F.col(ts),
         *[F.col(c) for c in right_cols if c not in on and c != ts],
-    ).withColumn("__side", F.lit(0))
+    ).where(F.col(ts).isNotNull()).withColumn("__side", F.lit(0))
+    # null-ts right rows are dropped on BOTH variants: "latest at-or-before"
+    # is undefined for them, and in the window form their payload would
+    # otherwise propagate while their timestamp is ignored
     # align schemas: left payload nulls on right rows and vice versa
     carry = [c for c in right_cols if c not in on and c != ts]
     for c in carry:
         l = l.withColumn(f"__r_{c}", F.lit(None).cast(r.schema[c].dataType))
+    # copy the right payload into __r_* FIRST, then null out left-named
+    # columns: the other order overwrote a right column whose name also
+    # exists in the left payload (the exact case the _right suffix serves),
+    # silently nulling every match
     r2 = r
+    for c in carry:
+        r2 = r2.withColumn(f"__r_{c}", F.col(c))
     for c in lcols:
         if c not in on and c != ts:
             r2 = r2.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
-    for c in carry:
-        r2 = r2.withColumn(f"__r_{c}", F.col(c))
     r2 = r2.select(*lcols, "__side", *[f"__r_{c}" for c in carry])
     l = l.select(*lcols, "__side", *[f"__r_{c}" for c in carry])
     u = l.unionByName(r2)
@@ -91,23 +98,36 @@ def asof_join_pandas(
     import pandas as pd
 
     carry = [c for c in right_cols if c not in on and c != ts]
-    out_schema = left.schema
-    from pyspark.sql.types import StructField
+    from pyspark.sql.types import StructField, StructType
 
+    # COPY the schema: StructType.add mutates in place, and left.schema is
+    # the DataFrame's cached object — mutating it plants phantom columns on
+    # the caller's frame (same trap documented at sources/wal.chunked_schema)
+    out_schema = StructType(list(left.schema.fields))
     for c in [ts] + carry:
         f = right.schema[c]
         out_schema = out_schema.add(StructField(f"{c}{suffix}", f.dataType))
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        l = l.sort_values(ts)
-        r = r.sort_values(ts)[[*on, ts, *carry]].rename(
+        # null timestamps: merge_asof raises on null keys. Match the window
+        # variant — null-ts LEFT rows keep their row with null match fields;
+        # null-ts RIGHT rows are dropped (at-or-before is undefined).
+        lnull = l[l[ts].isna()].copy()
+        l = l[l[ts].notna()].sort_values(ts)
+        r = r[r[ts].notna()].sort_values(ts)[[*on, ts, *carry]].rename(
             columns={c: f"{c}{suffix}" for c in [ts] + carry}
         )
         if r.empty:
+            out = pd.concat([l, lnull]) if len(lnull) else l
             for c in [ts] + carry:
-                l[f"{c}{suffix}"] = None
-            return l
-        return pd.merge_asof(l, r.drop(columns=on), left_on=ts, right_on=f"{ts}{suffix}")
+                out[f"{c}{suffix}"] = None
+            return out
+        out = pd.merge_asof(l, r.drop(columns=on), left_on=ts, right_on=f"{ts}{suffix}")
+        if len(lnull):
+            for c in [ts] + carry:
+                lnull[f"{c}{suffix}"] = None
+            out = pd.concat([out, lnull])
+        return out
 
     return (
         left.groupBy(*on)

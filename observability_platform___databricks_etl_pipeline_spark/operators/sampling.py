@@ -65,9 +65,12 @@ def stratified_sample_sql(
         f"WHEN {strata_col} = '{k.replace(chr(39), chr(39) * 2)}' THEN {v}"
         for k, v in sorted(rates.items())
     )
+    # empty rates: a CASE with no WHEN arms is a parse error — emit the bare
+    # default rate, exactly what the Spark path's untouched lit() computes
+    rate_expr = f"(CASE {case} ELSE {default_rate} END)" if case else f"({default_rate})"
     key = (
         f"concat(coalesce(CAST({strata_col} AS VARCHAR), '{_NULL_SENTINEL}'), ':', "
         f"coalesce(CAST({id_col} AS VARCHAR), '{_NULL_SENTINEL}'))"
     )
     draw = MD5LONG_SQL.format(x=key)
-    return f"(({draw}) % {_MOD} + {_MOD}) % {_MOD} < (CASE {case} ELSE {default_rate} END) * {_MOD}"
+    return f"(({draw}) % {_MOD} + {_MOD}) % {_MOD} < {rate_expr} * {_MOD}"

@@ -99,6 +99,12 @@ class TableSchema:
             if new in self.names():
                 return self  # idempotent re-apply
             raise KeyError(f"rename_column: no column named {old!r}")
+        if new in self.names():
+            # renaming ONTO an existing name would commit a schema with
+            # duplicate column names — every later scan/merge fails on
+            # ambiguous references, permanently. Raise so the replay path
+            # counts the event as a malformed schema op and skips it.
+            raise ValueError(f"rename_column: column {new!r} already exists")
         cols = [dict(c, name=new) if c["name"] == old else dict(c) for c in self.columns]
         return TableSchema(cols, self.next_id, self.schema_id + 1)
 
@@ -881,19 +887,21 @@ class LakeVault:
             full = os.path.join(self.data_dir, d)
             if not os.path.isdir(full):
                 continue
+            try:
+                attempt = int(d.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if attempt > cur:
+                # possible in-flight writer (stages for current+1): never
+                # touched — not even when it currently holds no parquet (the
+                # window between new_write_dir() and the first task commit)
+                continue
             parquet = [
                 os.path.relpath(os.path.join(dp, fn), self.root)
                 for dp, _dn, fns in os.walk(full)
                 for fn in fns
                 if fn.endswith(".parquet")
             ]
-            if not parquet:
-                shutil.rmtree(full, ignore_errors=True)  # empty staging dir
-                continue
-            try:
-                attempt = int(d.split("-")[1])
-            except (IndexError, ValueError):
-                continue
-            if attempt <= cur and not any(p in live_files for p in parquet):
+            if not parquet or not any(p in live_files for p in parquet):
                 shutil.rmtree(full, ignore_errors=True)
         return expired_ids

@@ -325,6 +325,7 @@ class CDCEngine:
         removed = self.vault.expire_snapshots(keep_last=keep_last)
         batches = self.vault.snapshot().committed_batches  # commit order
         keep = set(batches[-keep_side_batches:]) if keep_side_batches > 0 else set(batches)
+        expired_bids = [b for b in batches if b not in keep]
         for d in (self.quarantine_dir, self.metrics_dir):
             if not os.path.isdir(d):
                 continue
@@ -336,6 +337,15 @@ class CDCEngine:
             for fn in os.listdir(mdir):
                 if fn.endswith(".json") and fn[:-5] not in keep:
                     os.remove(os.path.join(mdir, fn))
+        # tombstone the swept batch ids: replay()'s skipped-batch rollup
+        # BACKFILL would otherwise find the still-live write dirs and regrow
+        # every side dir this retention pass just bounded
+        if expired_bids:
+            prior = self._expired_side_batches()
+            _atomic_write_json(
+                self._side_retention_path(),
+                {"expired": sorted(prior | set(expired_bids))},
+            )
         return removed
 
     @staticmethod
@@ -491,8 +501,10 @@ class CDCEngine:
         for r in schema_rows:
             p = r["props"] or {}
             # malformed schema events (missing props keys, rename of an
-            # unknown column) are counted and skipped — never a driver abort
-            # mid-replay (they stay in the WAL chunk named in the lineage)
+            # unknown column, rename ONTO an existing column — committing
+            # that would brick every later scan on duplicate names) are
+            # counted and skipped — never a driver abort mid-replay (they
+            # stay in the WAL chunk named in the lineage)
             try:
                 if r["op"] == "add_column":
                     before = schema.names()
@@ -502,7 +514,7 @@ class CDCEngine:
                             c["prop"] = p["column"]  # stable props-key across renames
                 else:
                     schema = schema.rename_column(p["from"], p["to"])
-            except KeyError:
+            except (KeyError, ValueError):
                 m.schema_ops_invalid += 1
         extra_cols = self._extra_columns(schema)
 
@@ -892,16 +904,33 @@ class CDCEngine:
         commit and the async rollup write). The batch's immutable write dir
         is discoverable by its bid tag; files written before __action/
         __content_len existed (or already compacted away) are skipped — the
-        rollup is best-effort derived data, never replay state."""
+        rollup is best-effort derived data, never replay state. Batches
+        whose side data was REMOVED by ``expire()`` are recorded in a
+        tombstone file and never resurrected. A crashed earlier attempt can
+        leave a second dir with the same bid tag holding only write-task
+        garbage, so every match is tried newest-first rather than trusting
+        glob order."""
         import glob as _glob
 
+        if bid in self._expired_side_batches():
+            return
         dirs = _glob.glob(os.path.join(self.vault.data_dir, f"w-*-{bid[:8]}-*"))
-        if not dirs:
-            return
-        try:
-            self._rollup_from_dir(dirs[0], bid)
-        except Exception:
-            return
+        for d in sorted(dirs, key=os.path.getmtime, reverse=True):
+            try:
+                self._rollup_from_dir(d, bid)
+                return
+            except Exception:
+                continue
+
+    def _side_retention_path(self) -> str:
+        return os.path.join(self.vault.vault_dir, "side_retention.json")
+
+    def _expired_side_batches(self) -> set[str]:
+        p = self._side_retention_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f).get("expired", []))
 
     def _write_rollup(self, winners, bid: str) -> None:
         """Per-batch per-repo ingest rollup — the Gold-layer analog

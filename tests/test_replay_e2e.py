@@ -121,3 +121,21 @@ def test_engine_expire_bounds_side_tables(spark, tmp_path, wal):
     assert engine.ingest_metrics().count() > 0
     res2 = CDCEngine(spark, root, n_buckets=8, with_rollup=False).replay(wal)
     assert all(b.skipped for b in res2.batches)
+
+
+def test_expire_tombstones_block_rollup_resurrection(spark, tmp_path, wal):
+    """replay() after expire() must NOT backfill the side metrics the
+    retention pass just removed (the write dirs are still on disk, so the
+    backfill would regrow every swept dir without the tombstone)."""
+    import os
+
+    root = str(tmp_path / "tbl-ts")
+    eng = CDCEngine(spark, root, n_buckets=8, with_rollup=True)
+    eng.replay(wal)
+    eng.expire(keep_last=10, keep_side_batches=1)  # keep data files, sweep side dirs
+    last_bid = eng.vault.snapshot().committed_batches[-1]
+    assert os.listdir(eng.metrics_dir) == [f"batch_id={last_bid}"]
+
+    res = CDCEngine(spark, root, n_buckets=8, with_rollup=True).replay(wal)
+    assert all(b.skipped for b in res.batches)
+    assert os.listdir(eng.metrics_dir) == [f"batch_id={last_bid}"]  # not resurrected

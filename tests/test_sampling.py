@@ -34,3 +34,30 @@ def test_rates_hold_and_full_stratum_kept(spark):
     assert n["zh"] == 1000                      # rate 1.0 keeps everything
     assert 400 <= n["en"] <= 600                # 2000 * 0.25 ± hash noise
     assert 400 <= n["fr"] <= 600                # 1000 * 0.5 (default rate)
+
+
+def test_stratified_sample_sql_empty_rates_is_valid_sql(spark, sf_dir):
+    """rates={} must yield a parseable oracle predicate (a CASE with no WHEN
+    arms is a DuckDB parse error) that matches the Spark draw exactly."""
+    import duckdb
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {}, 0.25, "doc_id").select("doc_id").collect()
+    )
+    con = duckdb.connect()
+    pred = stratified_sample_sql("lang", {}, 0.25, "doc_id")
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE {pred} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want and got

@@ -125,3 +125,36 @@ def test_schema_evolution_survives_resume(spark, tmp_path):
         for r in eng.current_state().collect()
     }
     assert got == {k: (v["content_sha256"], v.get("quality_score")) for k, v in exp.items()}
+
+
+def test_rename_onto_existing_column_is_skipped_as_invalid(spark, tmp_path):
+    """A WAL rename_column targeting an EXISTING name must be counted as an
+    invalid schema op and skipped — committing it would produce duplicate
+    column names and permanently brick scan()."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    def ev(seq, op, props, repo="r1", path="a.py", commit="c", content="x"):
+        return (seq, T0 + dt.timedelta(seconds=seq), repo, path, commit, op, None, content, props)
+
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ev(1, "insert", None),
+        ev(2, "add_column", {"column": "quality", "type": "double"}),
+        ev(3, "rename_column", {"from": "quality", "to": "lang"}),  # ONTO existing: invalid
+        ev(4, "update", {"quality": "0.5"}),
+    ]
+    schema = ("seq long, ts timestamp, repo string, path string, commit string,"
+              " op string, lang string, content string, props map<string,string>")
+    wal = str(tmp_path / "wal")
+    write_wal(spark.createDataFrame(rows, schema), wal, chunk_size=10)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False)
+    res = eng.replay(wal)
+    assert sum(b.schema_ops_invalid for b in res.batches) == 1
+    state = eng.current_state()
+    assert state.columns.count("lang") == 1 and "quality" in state.columns
+    assert state.where(F.col("quality") == 0.5).count() == 1
