@@ -1668,6 +1668,51 @@ def asof_purchase_click(spark, sf_dir):
 
 
 @_register(
+    "range_join_purchase_window",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           count(*) AS n_clicks,
+           CAST(min(c.event_id) AS BIGINT) AS first_click_id,
+           CAST(max(c.event_id) AS BIGINT) AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def range_join_purchase_window(spark, sf_dir):
+    """RANGE (interval) join — the other native-join gap next to as-of: each
+    purchase's ±30-minute window joined to the user's clicks inside it. The
+    operator bins intervals into fixed-width buckets and equi-joins on
+    (user, bin) + an exact residual predicate — never the
+    BroadcastNestedLoopJoin a plain BETWEEN theta-join plans. The oracle is
+    that plain BETWEEN join, so bin boundary handling (inclusive ends,
+    truncation-monotone binning) is value-hashed."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = interval_join(
+        clicks, windows, point_col="ts", lo_col="w_lo", hi_col="w_hi",
+        on=["user_id"], bin_width=1800,
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_id").alias("first_click_id"),
+        F.max("click_id").alias("last_click_id"),
+    )
+
+
+@_register(
     "sessionize",
     """
     SELECT user_id,
