@@ -41,18 +41,23 @@ def infer_lang_series(path: pd.Series, content: pd.Series) -> pd.Series:
     """Vectorized: extension map first, content heuristics as fallback."""
     ext = path.str.extract(r"\.([A-Za-z0-9]+)$", expand=False).str.lower()
     lang = ext.map(EXT_LANG)
-    # content fallbacks, applied only where still unknown
-    unknown = lang.isna()
-    if unknown.any():
-        c = content.where(unknown, "")
-        c = c.fillna("")
-        lang = lang.mask(unknown & c.str.startswith("#!/bin/"), "shell")
-        lang = lang.mask(unknown & c.str.contains(r"#!.*\bpython", regex=True), "python")
-        lang = lang.mask(
-            unknown & c.str.contains(r"\bdef \w+\(|\bimport \w+", regex=True), "python"
-        )
-        lang = lang.mask(unknown & c.str.contains(r"\bfn \w+\(.*\)\s*->", regex=True), "rust")
-        lang = lang.mask(unknown & c.str.contains(r"\bfunc \w+\(", regex=True), "go")
+    # content fallbacks in PRIORITY ORDER — each rule fires only where no
+    # earlier rule (or the extension map) matched. The previous mask chain
+    # froze `unknown` once, so a LATER rule overwrote an earlier match on
+    # multi-matching content (a '#!/bin/sh' script containing 'func x('
+    # came out 'go') — first-match is the documented fallback semantics and
+    # what the sequential reference reducer implements.
+    if lang.isna().any():
+        c = content.where(lang.isna(), "").fillna("")
+        rules = [
+            (c.str.startswith("#!/bin/"), "shell"),
+            (c.str.contains(r"#!.*\bpython", regex=True), "python"),
+            (c.str.contains(r"\bdef \w+\(|\bimport \w+", regex=True), "python"),
+            (c.str.contains(r"\bfn \w+\(.*\)\s*->", regex=True), "rust"),
+            (c.str.contains(r"\bfunc \w+\(", regex=True), "go"),
+        ]
+        for cond, val in rules:
+            lang = lang.mask(lang.isna() & cond, val)
     return lang.fillna("unknown")
 
 

@@ -85,7 +85,7 @@ def cdc_lww_latest(spark, sf_dir):
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-           round(avg(value), 4) AS avg_value
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_fp_sum
     FROM events GROUP BY event_type
     """,
 )
@@ -97,7 +97,11 @@ def cdc_op_counts(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("n_high"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # fixed-point (floor(v*1e4) per row, integer sum): exact and
+            # association-order-independent — round(avg(double), 4) can flip
+            # its last decimal between engines' partial-agg orders (the
+            # repo's standing float-hash-gate convention)
+            F.sum(F.floor(F.col("value") * 10000)).cast("long").alias("value_fp_sum"),
         )
     )
 
@@ -107,7 +111,7 @@ def cdc_op_counts(spark, sf_dir):
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n,
-           round(sum(value), 4) AS sum_value,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp,
            count(DISTINCT user_id) AS users
     FROM events GROUP BY 1, 2
     """,
@@ -119,7 +123,7 @@ def cdc_hourly_rollup(spark, sf_dir):
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 10000)).cast("long").alias("sum_value_fp"),
             F.countDistinct("user_id").alias("users"),
         )
     )
@@ -551,10 +555,17 @@ _NGRAM_CTES = """
     ngsh AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
-               unnest(list_transform(
-                 range(1, greatest(len(words) - 1, 1)),
-                 i -> array_to_string(words[i:i+2], ' ')
-               )) AS shingle
+               unnest(
+                 -- short-doc branch mirrors operators/dedup._shingles: a
+                 -- document with fewer than n words yields ONE whole-text
+                 -- shingle (range() alone would yield none and silently
+                 -- drop short docs from all four ngram-family gates)
+                 CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                      ELSE list_transform(
+                        range(1, greatest(len(words) - 1, 1)),
+                        i -> array_to_string(words[i:i+2], ' ')
+                      ) END
+               ) AS shingle
         FROM (SELECT doc_id,
                      string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS words
               FROM documents)
@@ -1336,14 +1347,25 @@ def cdc_replay_documents_mor(spark, sf_dir):
 # parquet files the engine consumed. Content is deterministic
 # (gen/changelog.py: every column a pure function of the row id); the write
 # is mode("overwrite"), so reruns replace in place — fixed-size, never an
-# unbounded leak. The uid suffix keeps two users on one box from colliding
-# in world-shared /tmp (r3 ADVICE): each process bakes ITS OWN path into its
-# oracle strings, and the per-process engine cache is keyed to the same path.
+# unbounded leak. The uid+pid suffix makes the path truly PER-PROCESS
+# (r3 ADVICE): different users can't collide in world-shared /tmp, and two
+# concurrent processes of one user can't overwrite each other's WAL while
+# the other's DuckDB oracle is mid-read. Each process bakes its own path
+# into its oracle strings at import; the dir is removed at exit.
 _ENTRY_WAL = os.path.join(
     tempfile.gettempdir(),
-    f"cdc-gate-entry-wal-4000-s42-u{os.getuid() if hasattr(os, 'getuid') else 0}",
+    f"cdc-gate-entry-wal-4000-s42-u{os.getuid() if hasattr(os, 'getuid') else 0}-p{os.getpid()}",
     "wal",
 )
+
+
+def _cleanup_entry_wal() -> None:
+    import shutil
+
+    shutil.rmtree(os.path.dirname(_ENTRY_WAL), ignore_errors=True)
+
+
+__import__("atexit").register(_cleanup_entry_wal)
 
 
 def _gen_wal_live_cte(seq_below: int | None = None) -> str:

@@ -111,15 +111,28 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
     # schema state: list of (name, type, prop_key); extraction active only
     # from the chunk where the column was added (chunk-aligned barrier)
     extra_cols: list[dict] = []
+    base_names = {
+        "repo", "path", "commit", "lang", "content",
+        "content_sha256", "last_seq", "is_deleted",
+    }
     for chunk in sorted(df["chunk"].unique()):
         cdf = df[df["chunk"] == chunk]
-        # schema events first (chunk-aligned), in seq order
+        # schema events first (chunk-aligned), in seq order. Mirror the
+        # engine exactly: a MALFORMED schema event (null identity fields) is
+        # quarantined like any malformed row; add_column onto an existing
+        # name is an idempotent no-op; rename onto an existing name is an
+        # invalid op and skipped (committing it would duplicate names).
         for _, r in cdf[cdf["op"].isin(["add_column", "rename_column"])].iterrows():
+            if any(
+                _n(r[f]) is None for f in ("seq", "repo", "path", "commit")
+            ):
+                continue  # quarantined, not applied (engine: ~malformed filter)
             props = _as_dict(r["props"])
             if r["op"] == "add_column":
                 if "column" not in props:
                     continue  # malformed schema event: skipped (engine counts it)
-                if props["column"] not in [c["name"] for c in extra_cols]:
+                names = base_names | {c["name"] for c in extra_cols}
+                if props["column"] not in names:
                     extra_cols.append(
                         {"name": props["column"], "type": props.get("type", "string"),
                          "prop": props["column"]}
@@ -127,6 +140,9 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
             else:
                 if "from" not in props or "to" not in props:
                     continue  # malformed schema event: skipped
+                names = base_names | {c["name"] for c in extra_cols}
+                if props["to"] in names:
+                    continue  # rename ONTO an existing name: invalid, skipped
                 for c in extra_cols:
                     if c["name"] == props["from"]:
                         c["name"] = props["to"]
@@ -149,8 +165,17 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
             props = _as_dict(r["props"])
             key = (repo, path)
             prev = state.get(key)
-            if prev is not None and prev["last_seq"] >= int(seq):
+            if prev is not None and prev["last_seq"] > int(seq):
                 continue  # stale
+            if prev is not None and prev["last_seq"] == int(seq):
+                # engine tiebreak at equal seq: a BATCH row beats the carried
+                # table row (max_by over (last_seq, src, ...)) — so a later
+                # chunk's event wins; within ONE chunk both rows are batch
+                # rows and the larger (null→'') content wins
+                if prev.get("_chunk") == chunk and (prev.get("_raw_content") or "") >= (
+                    rcontent or ""
+                ):
+                    continue
             row = {
                 "repo": repo,
                 "path": path,
@@ -160,11 +185,31 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
                 "content_sha256": sha,
                 "last_seq": int(seq),
                 "is_deleted": op == "delete",
+                "_chunk": chunk,
+                "_raw_content": rcontent,
             }
             for c in extra_cols:
                 v = props.get(c["prop"])
-                if v is not None and c["type"] == "double":
-                    v = float(v)
+                if v is not None:
+                    # mirror the engine's cast to the DECLARED column type
+                    # (replay casts props values via .cast(type)), not just
+                    # the double special case
+                    if c["type"] == "double":
+                        v = float(v)
+                    elif c["type"] in ("long", "int"):
+                        try:
+                            v = int(v)
+                        except ValueError:
+                            v = None
+                    elif c["type"] == "boolean":
+                        v = str(v).strip().lower() in ("true", "1", "t", "yes")
                 row[c["name"]] = v
             state[key] = row
-    return {k: v for k, v in state.items() if not v["is_deleted"]}
+    out = {}
+    for k, v in state.items():
+        if not v["is_deleted"]:
+            v = dict(v)
+            v.pop("_chunk", None)
+            v.pop("_raw_content", None)
+            out[k] = v
+    return out

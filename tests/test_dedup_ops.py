@@ -270,3 +270,31 @@ def test_exact_dedup_ignores_null_text(spark):
     out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
     # the real duplicate pair collapses; null-text rows are never grouped
     assert out == {1: 2}
+
+
+def test_ngram_oracle_parity_on_short_docs(spark):
+    """Documents with fewer than n words produce one whole-text shingle in
+    BOTH engines (the oracle CTE previously emitted zero shingles for them,
+    silently dropping short docs from four gates)."""
+    import duckdb
+    import pandas as pd
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from observability_platform___databricks_etl_pipeline_spark.queries import _NGRAM_CTES
+
+    rows = [(1, "hi there"), (2, "hi there"), (3, "one"), (4, "a much longer doc with words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"WITH {_NGRAM_CTES} SELECT id_a, id_b, jaccard FROM ngpairs WHERE jaccard >= 0.5"
+        ).fetchall()
+    }
+    assert got == want
+    assert (1, 2, 1.0) in got  # the 2-word twins are found
