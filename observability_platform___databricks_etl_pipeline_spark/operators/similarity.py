@@ -586,7 +586,7 @@ def embedding_neardup_pairs(
     dim = int(dim_probe[0]["d"]) if dim_probe else 0
     v = F.col(vec_col).cast("array<double>")
     nv = _norm_dim(v, dim)
-    corpus = df.select(
+    corpus = _valid_vectors(df, vec_col, dim).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
@@ -652,5 +652,115 @@ def embedding_neardup_pairs(
         survivors.join(a_side, "id_a")
         .join(b_side, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def incremental_embedding_neardup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_tables: int = 3,
+) -> DataFrame:
+    """NEW-batch × corpus near-duplicate vectors (cosine ≥ threshold) — the
+    everyday training-data shape: before admitting a candidate batch, find
+    which of its vectors already exist (near-)verbatim in the corpus.
+    ASYMMETRIC by construction: only (new, corpus) pairs are reported —
+    corpus-internal and batch-internal duplicates are out of scope (run
+    ``embedding_neardup_pairs`` on either side for those).
+
+    Same cost shape as the self-join variant: both sides bucket via ONE
+    Arrow matmul per batch under the SAME multi-table hyperplane family, a
+    cogrouped per-(table, bucket) sweep computes the batch×corpus gram in
+    row-blocks (memory O(block × |corpus bucket|) on top of the groups'
+    own vectors) and emits only hits over ``threshold − 1e-9``, and the
+    deduped hit set is re-scored once with the dim-unrolled IEEE dot for
+    oracle exactness. The corpus shuffles once per table; at 100 TB the
+    bucket columns are a write-time index and the cogroup reads only the
+    buckets the (small) new batch occupies."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    dim_probe = new_df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    planes_all = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bucket_ids(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")
+        signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0
+        return pd.Series(list(signs @ weights))
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        nv = _norm_dim(v, dim)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
+        )
+        valid = base.where(F.col("v").isNotNull() & (F.size("v") == F.lit(dim)))
+        return valid.select(
+            "id", "v", "n", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk")
+        )
+
+    nb, cb = prep(new_df), prep(corpus_df)
+    id_field = next(f for f in nb.schema.fields if f.name == "id")
+    pair_schema = StructType(
+        [StructField("new_id", id_field.dataType), StructField("corpus_id", id_field.dataType)]
+    )
+    margin = float(threshold) - 1e-9
+
+    def sweep(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        nids = lpdf["id"].to_numpy()
+        cids = rpdf["id"].to_numpy()
+        if len(nids) == 0 or len(cids) == 0:
+            empty = nids[:0] if len(nids) else cids[:0]
+            return pd.DataFrame({"new_id": empty, "corpus_id": empty})
+        nm = np.stack(lpdf["v"].to_numpy()).astype("float64")
+        nm /= lpdf["n"].to_numpy()[:, None]
+        cm = np.stack(rpdf["v"].to_numpy()).astype("float64")
+        cm /= rpdf["n"].to_numpy()[:, None]
+        hits_n, hits_c = [], []
+        block = 1024
+        for s in range(0, len(nids), block):
+            g = nm[s : s + block] @ cm.T  # (block, |corpus bucket|)
+            ii, jj = np.nonzero(g >= margin)
+            hits_n.append(nids[ii + s])
+            hits_c.append(cids[jj])
+        return pd.DataFrame(
+            {"new_id": np.concatenate(hits_n), "corpus_id": np.concatenate(hits_c)}
+        )
+
+    survivors = (
+        nb.groupBy("t", "bk")
+        .cogroup(cb.groupBy("t", "bk"))
+        .applyInPandas(lambda lp, rp: sweep(lp, rp), pair_schema)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+    def side(df: DataFrame, out_id: str, v_name: str, n_name: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        nv = _norm_dim(v, dim)
+        # filter BEFORE the dim-unrolled norm: getItem(i) on a short array
+        # raises under ANSI semantics even for rows the join would prune
+        return _valid_vectors(df, vec_col, dim).select(
+            F.col(id_col).alias(out_id),
+            v.alias(v_name),
+            F.when(nv == 0, 1.0).otherwise(nv).alias(n_name),
+        )
+
+    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        survivors.join(side(new_df, "new_id", "va", "na"), "new_id")
+        .join(side(corpus_df, "corpus_id", "vb", "nb"), "corpus_id")
+        .select("new_id", "corpus_id", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

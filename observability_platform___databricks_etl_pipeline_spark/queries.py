@@ -1093,6 +1093,64 @@ def emb_ivf_topk_batch(spark, sf_dir):
 _NEARDUP_PERT = 50  # vec_id < 50 get a perturbed twin at vec_id + 100000
 
 
+def _emb_incremental_oracle(threshold: float = 0.9) -> str:
+    # the NEW batch = deterministic perturbations of corpus vec_id < 50
+    # (ids + 200000); brute-force new × corpus verify — asymmetric: only
+    # (new, corpus) pairs, so corpus-internal dups must NOT appear
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    newb AS (
+      SELECT vec_id0 + 200000 AS vec_id,
+             list_transform(range(0, len(v)),
+                            i -> v[CAST(i + 1 AS INTEGER)]
+                                 * (1 + (((vec_id0 * 13 + i * 7) % 11) - 5) / 200.0)) AS v
+      FROM (SELECT vec_id AS vec_id0, v FROM corpus WHERE vec_id < {_NEARDUP_PERT})
+    )
+    SELECT CAST(n.vec_id AS BIGINT) AS new_id, CAST(c.vec_id AS BIGINT) AS corpus_id,
+           round(list_cosine_similarity(n.v, c.v), 6) AS cosine
+    FROM newb n JOIN corpus c ON true
+    WHERE round(list_cosine_similarity(n.v, c.v), 6) >= {threshold}
+    """
+
+
+@_register("emb_incremental_neardup", _emb_incremental_oracle())
+def emb_incremental_neardup(spark, sf_dir):
+    """INCREMENTAL embedding dedup — a NEW batch of vectors (deterministic
+    perturbed twins of 50 corpus vectors) screened against the corpus via
+    the cogrouped multi-table LSH sweep. The brute-force new × corpus
+    oracle makes missed recall a hash mismatch, and its asymmetry pins
+    that corpus-internal pairs are never reported."""
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # rename BEFORE deriving: in one select, `vec_id` inside the transform
+    # would lateral-alias-resolve to the just-aliased +200000 id and shift
+    # the perturbation pattern away from the oracle's
+    src0 = corpus.where(F.col("vec_id") < _NEARDUP_PERT).select(
+        F.col("vec_id").alias("vec_id0"), "v"
+    )
+    newb = src0.select(
+        (F.col("vec_id0") + 200000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x * (1 + ((F.col("vec_id0") * 13 + i * 7) % 11 - 5) / F.lit(200.0)),
+        ).alias("v"),
+    )
+    out = incremental_embedding_neardup(
+        newb, corpus, threshold=0.9, n_planes=6, id_col="vec_id", vec_col="v", n_tables=3
+    )
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        "cosine",
+    )
+
+
+
+
 def _emb_neardup_oracle(threshold: float = 0.9) -> str:
     # deterministic planted near-dups (the raw corpus has NO pairs above
     # cosine 0.52 at any sf — a 0-row entry proves nothing), then brute-force

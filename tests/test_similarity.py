@@ -209,3 +209,33 @@ def test_batch_topk_skips_null_and_ragged_queries(spark, vecs):
 
     empty = df.where(F.lit(False))
     assert lsh_topk_batch(empty, queries, k=5, n_planes=6).count() == 0
+
+
+def test_incremental_embedding_neardup_asymmetric(spark, vecs):
+    """Only (new, corpus) pairs come back — corpus-internal near-dups (the
+    planted 3/7 twins) and batch-internal pairs are out of scope; null /
+    ragged new vectors are skipped, not job failures."""
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    df, m = vecs  # corpus contains the (3, 7) near-dup pair
+    # new batch: an exact copy of corpus vec 11 (id 9011), a copy of vec 3
+    # (id 9003), a null vector, and a ragged one
+    rows = [
+        (9011, [float(x) for x in m[11]]),
+        (9003, [float(x) for x in m[3]]),
+        (9500, None),
+        (9501, [1.0, 2.0]),
+    ]
+    new = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_embedding_neardup(new, df, threshold=0.999).collect()
+    }
+    assert (9011, 11) in got
+    assert (9003, 3) in got and (9003, 7) in got  # 3's twin 7 also matches
+    assert all(n >= 9000 for n, _c in got)        # never corpus-internal
+    assert all(c < 9000 for _n, c in got)         # never batch-internal
