@@ -308,15 +308,19 @@ def write_report(state: dict) -> None:
             "value-hash gate (`cdc_replay_documents` / `cdc_replay_documents_mor`),",
             "and duplicate seqs spanning commits resolve identically in both modes",
             "via the canonical (last_seq, commit-ordinal) order.",
-            "",
-            "Scale spot-check (round 4, one-off at 24M events / 8 batches /",
-            "local[32], mor): **158.2k ev/s, 1.07x amplification**, worst",
-            "per-bucket delta pile exactly at the auto-compact threshold (8),",
-            "commit metadata 0.1s total across 8 commits, final live rows",
-            "bit-identical to the COW run (4,956,838); the post-replay full",
-            "scan paid 7.25s for the 8-way LWW merge vs ~0.7s on COW — the",
-            "documented read-tax that bucket-scoped compaction amortizes.",
         ]
+        if "mor_spotcheck" in state:
+            sp = state["mor_spotcheck"]
+            lines += [
+                "",
+                f"Scale spot-check ({sp['label']}): **{sp['events_per_sec']/1000:.1f}k ev/s,",
+                f"{sp['write_amp']}x amplification**, worst per-bucket delta pile",
+                f"{sp['worst_delta_pile']} (auto-compact threshold {sp['threshold']}), commit",
+                f"metadata {sp['commit_s']}s total across {sp['n_batches']} commits, final live",
+                f"rows identical to the COW run ({sp['n_live']:,}); the post-replay full scan",
+                f"paid {sp['scan_s']}s for the {sp['n_batches']}-way LWW merge vs ~0.7s on COW —",
+                "the documented read-tax that bucket-scoped compaction amortizes.",
+            ]
 
     if "commit" in state:
         c = state["commit"]

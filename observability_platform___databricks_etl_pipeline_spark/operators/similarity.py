@@ -533,6 +533,135 @@ def ivf_topk_batch(
 # Embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 
+# Shared machinery for the two near-dup sweeps (self-pairs and new-vs-corpus).
+# The prefilter margin must cover the ROUNDING slack of the final predicate
+# round(cosine, 6) >= threshold — an exact cosine as low as threshold - 5e-7
+# still rounds up and must reach the exact re-score — plus the ~1e-14
+# BLAS-vs-fold associativity gap. 1e-6 covers both with 2x headroom; extras
+# it admits are dropped by the exact filter, so the margin can only ever be
+# too SMALL (silently losing a boundary pair the oracle keeps), never too
+# large.
+_PREFILTER_MARGIN = 1e-6
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Majority vector length over non-null rows: robust to a null or
+    ragged FIRST row (a limit(1) probe crashed on null and silently zeroed
+    recall on ragged — and is not even deterministic on distributed input).
+    One tiny map-side-combined aggregation; ~free next to the sweep."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        df.where(v.isNotNull())
+        .groupBy(F.size(v).alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d"))
+        .limit(1)
+        .collect()
+    )
+    return int(rows[0]["d"]) if rows else 0
+
+
+def _plane_family(dim: int, n_planes: int, seed: int, n_tables: int):
+    planes_all = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+    return planes_all, weights
+
+
+def _multi_bucket_udf(planes_all: np.ndarray, weights: np.ndarray):
+    """Arrow-batched multi-table bucketing: ONE numpy einsum per record
+    batch computes every table's sign-pattern id. Callers pre-filter null /
+    wrong-length vectors (np.stack on a ragged batch fails the task)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0  # (batch, T, P)
+        return pd.Series(list(signs @ weights))
+
+    return bucket_ids
+
+
+def _prep_bucketed(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, bucket_udf
+) -> DataFrame:
+    """(id, v, n, t, bk) — validity filter FIRST (ANSI: getItem on a short
+    array raises even for rows a later filter would drop), then norms and
+    one posexplode row per table."""
+    valid = _valid_vectors(df, vec_col, dim)
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm_dim(v, dim)
+    base = valid.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
+    )
+    return base.select("id", "v", "n", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bk"))
+
+
+def _blocked_hits(l_ids, l_rows, l_norms, r_ids, r_rows, r_norms, margin, upper_only):
+    """Row-blocked normalized gram over one bucket: memory O(block x right),
+    emits index pairs whose approximate cosine clears the margin. With
+    ``upper_only`` (self-sweep, l is r) each unordered pair appears once."""
+    lm = np.stack(l_rows).astype("float64") / np.asarray(l_norms)[:, None]
+    rm = (
+        lm
+        if r_rows is l_rows
+        else np.stack(r_rows).astype("float64") / np.asarray(r_norms)[:, None]
+    )
+    hits_l, hits_r = [], []
+    block = 1024
+    for s in range(0, len(l_ids), block):
+        g = lm[s : s + block] @ rm.T
+        ii, jj = np.nonzero(g >= margin)
+        ii = ii + s
+        if upper_only:
+            keep = ii < jj
+            ii, jj = ii[keep], jj[keep]
+        hits_l.append(l_ids[ii])
+        hits_r.append(r_ids[jj])
+    if not hits_l:
+        return l_ids[:0], r_ids[:0]
+    return np.concatenate(hits_l), np.concatenate(hits_r)
+
+
+def _exact_rescore(
+    pairs: DataFrame,
+    left_src: DataFrame,
+    right_src: DataFrame,
+    left_out: str,
+    right_out: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """Join the (tiny) hit set back to its source vectors and score with the
+    dim-unrolled IEEE-ordered dot — bit-identical to the fold and to the
+    DuckDB oracles. Sides validity-filter BEFORE the unrolled norms."""
+
+    def side(df: DataFrame, out_id: str, v_name: str, n_name: str) -> DataFrame:
+        valid = _valid_vectors(df, vec_col, dim)
+        v = F.col(vec_col).cast("array<double>")
+        nv = _norm_dim(v, dim)
+        return valid.select(
+            F.col(id_col).alias(out_id),
+            v.alias(v_name),
+            F.when(nv == 0, 1.0).otherwise(nv).alias(n_name),
+        )
+
+    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(side(left_src, left_out, "va", "na"), left_out)
+        .join(side(right_src, right_out, "vb", "nb"), right_out)
+        .select(left_out, right_out, F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -542,117 +671,51 @@ def embedding_neardup_pairs(
     seed: int = 42,
     n_tables: int = 3,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold): MULTI-TABLE
+    """Near-duplicate vector pairs (cosine >= threshold): MULTI-TABLE
     hyperplane LSH — each of ``n_tables`` independent plane-sets buckets the
-    corpus; candidates are the union over tables (explode → self equi-join on
-    (table, bucket)), exact cosine verified and deduped with one groupBy.
+    corpus; candidate enumeration + approximate verification happen INSIDE
+    each (table, bucket) group via a blocked-BLAS gram sweep (memory
+    O(block x bucket), never materializing bucket^2 rows), so the
+    cluster-wide shuffle after bucketing is the HIT SET, not the candidate
+    set. Survivors (deduped across tables) are re-scored once with the
+    dim-unrolled codegen dot — bit-identical to the brute-force oracle.
 
-    Recall: P(pair missed) = (1 - (1 - θ/π)^n_planes)^n_tables — a single
-    table (round 1) loses real pairs at θ=0.9; multiple independent tables
-    multiply the miss probabilities. Never a cross join; shuffle keys are
-    (table, bucket) so hot buckets spread across tables.
-
-    Cost shape (the r3→r4 rewrite): bucket assignment for ALL tables is ONE
-    Arrow-batched numpy matmul per batch (the BLAS path; the round-2 shape
-    built an 18-plane × 64-literal Catalyst tree whose analysis+codegen
-    dominated wall-clock — at 100 TB this bucket column is a write-time
-    index either way). Candidate ENUMERATION + approximate verification then
-    happen INSIDE each (table, bucket) group: an ``applyInPandas`` sweep
-    computes the group's normalized gram matrix in row-blocks (BLAS, memory
-    O(block × |bucket|), never materializing |bucket|² rows) and emits only
-    index pairs whose approximate cosine clears ``threshold − 1e-9`` — so
-    the cluster-wide shuffle after bucketing is the HIT SET (~the true
-    near-dup pairs), not the candidate set (the r3 plan shuffled and
-    distinct'ed every co-bucketed pair — 312k rows for a 2k corpus — then
-    joined 1 KB of vectors onto each). The survivors (deduped across
-    tables) are re-scored ONCE with the dim-unrolled codegen dot
-    (bit-identical IEEE fold order — the brute-force oracle keeps matching);
-    the 1e-9 margin dwarfs the ~1e-14 BLAS-vs-fold associativity gap, so the
-    prefilter can only admit extras for the exact filter to drop, never lose
-    a true pair.
+    Recall: P(pair missed) = (1 - (1 - theta/pi)^n_planes)^n_tables —
+    independent tables multiply the miss probabilities. Never a cross join.
 
     Sizing rule at scale: a sweep task holds ONE (table, bucket) group's
-    vectors (≈ |corpus| / 2^n_planes rows × dim doubles) — choose
-    ``n_planes`` so that fits executor task memory (e.g. 1B vectors × 64
-    dims wants ≥12 planes → ≤244k rows ≈ 125 MB per group; recall lost to
-    narrower buckets is bought back with ``n_tables``). The same parameter
-    already controls candidate volume, so this is the knob the operator is
-    tuned by anyway; the blocked gram adds only O(block × |bucket|) on
-    top of the group's own vectors."""
+    vectors (~ |corpus| / 2^n_planes rows x dim doubles) — choose
+    ``n_planes`` so that fits executor task memory (1B x 64-dim vectors
+    wants >=12 planes -> ~125 MB per group; recall lost to narrower buckets
+    is bought back with ``n_tables``)."""
     import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
-    v = F.col(vec_col).cast("array<double>")
-    nv = _norm_dim(v, dim)
-    corpus = _valid_vectors(df, vec_col, dim).select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
-    )
-    planes_all = np.stack(
-        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    )  # (n_tables, n_planes, dim)
-    weights = (1 << np.arange(n_planes)).astype("int64")
+    dim = _vec_dim(df, vec_col)
+    planes_all, weights = _plane_family(dim, n_planes, seed, n_tables)
+    b = _prep_bucketed(df, id_col, vec_col, dim, _multi_bucket_udf(planes_all, weights))
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bucket_ids(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
-        signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0  # (batch, T, P)
-        return pd.Series(list(signs @ weights))  # (batch, T) sign-pattern ids
-
-    # posexplode: pos IS the table index — no struct array needed.
-    # Null / wrong-length vectors are dropped BEFORE the UDF: np.stack would
-    # otherwise raise on a ragged batch (failing the whole job), whereas the
-    # old Catalyst bucket expression silently skipped such rows — preserve
-    # the skip-the-row semantics (they can never be near-dup candidates).
-    valid = corpus.where(F.col("v").isNotNull() & (F.size("v") == F.lit(dim)))
-    b = valid.select(
-        "id", "v", "n", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk")
-    )
-
-    id_field = next(f for f in corpus.schema.fields if f.name == "id")
+    id_type = next(f for f in b.schema.fields if f.name == "id").dataType
     pair_schema = StructType(
-        [StructField("id_a", id_field.dataType), StructField("id_b", id_field.dataType)]
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
     )
-    margin = float(threshold) - 1e-9
+    margin = float(threshold) - _PREFILTER_MARGIN
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         if len(ids) < 2:
-            empty = ids[:0]
-            return pd.DataFrame({"id_a": empty, "id_b": empty})
-        m = np.stack(pdf["v"].to_numpy()).astype("float64")
-        m /= pdf["n"].to_numpy()[:, None]  # pre-normalized rows
-        hits_a, hits_b = [], []
-        block = 1024
-        for s in range(0, len(ids), block):
-            g = m[s : s + block] @ m.T  # (block, n) — O(block·n) memory
-            ii, jj = np.nonzero(g >= margin)
-            ii = ii + s
-            keep = ii < jj  # each unordered pair once; drops self-pairs
-            hits_a.append(ids[ii[keep]])
-            hits_b.append(ids[jj[keep]])
-        a = np.concatenate(hits_a)
-        bb = np.concatenate(hits_b)
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        rows = pdf["v"].to_numpy()
+        a, bb = _blocked_hits(
+            ids, rows, pdf["n"].to_numpy(), ids, rows, None, margin, upper_only=True
+        )
         return pd.DataFrame({"id_a": np.minimum(a, bb), "id_b": np.maximum(a, bb)})
 
     survivors = (
         b.groupBy("t", "bk").applyInPandas(sweep, pair_schema).dropDuplicates(["id_a", "id_b"])
     )
-    a_side = corpus.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b_side = corpus.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
-    return (
-        survivors.join(a_side, "id_a")
-        .join(b_side, "id_b")
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    return _exact_rescore(
+        survivors, df, df, "id_a", "id_b", id_col, vec_col, dim, threshold
     )
 
 
@@ -666,78 +729,49 @@ def incremental_embedding_neardup(
     seed: int = 42,
     n_tables: int = 3,
 ) -> DataFrame:
-    """NEW-batch × corpus near-duplicate vectors (cosine ≥ threshold) — the
+    """NEW-batch x corpus near-duplicate vectors (cosine >= threshold) — the
     everyday training-data shape: before admitting a candidate batch, find
     which of its vectors already exist (near-)verbatim in the corpus.
     ASYMMETRIC by construction: only (new, corpus) pairs are reported —
     corpus-internal and batch-internal duplicates are out of scope (run
     ``embedding_neardup_pairs`` on either side for those).
 
-    Same cost shape as the self-join variant: both sides bucket via ONE
-    Arrow matmul per batch under the SAME multi-table hyperplane family, a
-    cogrouped per-(table, bucket) sweep computes the batch×corpus gram in
-    row-blocks (memory O(block × |corpus bucket|) on top of the groups'
-    own vectors) and emits only hits over ``threshold − 1e-9``, and the
-    deduped hit set is re-scored once with the dim-unrolled IEEE dot for
-    oracle exactness. The corpus shuffles once per table; at 100 TB the
-    bucket columns are a write-time index and the cogroup reads only the
-    buckets the (small) new batch occupies."""
+    Same machinery as the self-join variant (one Arrow matmul buckets each
+    side under the same plane family; cogrouped per-(table, bucket)
+    blocked-BLAS sweep; exact dim-unrolled re-score), with one asymmetric
+    optimization: the corpus side is LEFT-SEMI pruned to the (table,
+    bucket) keys the new batch occupies — <= |new| x n_tables keys,
+    broadcast — so corpus-only buckets are never shuffled or swept. With a
+    write-time bucket index the same pruning happens at the scan."""
     import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
-    dim_probe = new_df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
-    planes_all = np.stack(
-        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    dim = _vec_dim(new_df, vec_col)
+    planes_all, weights = _plane_family(dim, n_planes, seed, n_tables)
+    udf = _multi_bucket_udf(planes_all, weights)
+    nb = _prep_bucketed(new_df, id_col, vec_col, dim, udf)
+    cb = _prep_bucketed(corpus_df, id_col, vec_col, dim, udf).join(
+        F.broadcast(nb.select("t", "bk").distinct()), ["t", "bk"], "leftsemi"
     )
-    weights = (1 << np.arange(n_planes)).astype("int64")
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bucket_ids(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy()).astype("float64")
-        signs = np.einsum("tpd,nd->ntp", planes_all, m) > 0
-        return pd.Series(list(signs @ weights))
-
-    def prep(df: DataFrame) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        nv = _norm_dim(v, dim)
-        base = df.select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            F.when(nv == 0, 1.0).otherwise(nv).alias("n"),
-        )
-        valid = base.where(F.col("v").isNotNull() & (F.size("v") == F.lit(dim)))
-        return valid.select(
-            "id", "v", "n", F.posexplode(_bucket_ids(F.col("v"))).alias("t", "bk")
-        )
-
-    nb, cb = prep(new_df), prep(corpus_df)
-    id_field = next(f for f in nb.schema.fields if f.name == "id")
+    new_id_type = next(f for f in nb.schema.fields if f.name == "id").dataType
+    corpus_id_type = next(f for f in cb.schema.fields if f.name == "id").dataType
     pair_schema = StructType(
-        [StructField("new_id", id_field.dataType), StructField("corpus_id", id_field.dataType)]
+        [StructField("new_id", new_id_type), StructField("corpus_id", corpus_id_type)]
     )
-    margin = float(threshold) - 1e-9
+    margin = float(threshold) - _PREFILTER_MARGIN
 
     def sweep(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         nids = lpdf["id"].to_numpy()
         cids = rpdf["id"].to_numpy()
         if len(nids) == 0 or len(cids) == 0:
-            empty = nids[:0] if len(nids) else cids[:0]
-            return pd.DataFrame({"new_id": empty, "corpus_id": empty})
-        nm = np.stack(lpdf["v"].to_numpy()).astype("float64")
-        nm /= lpdf["n"].to_numpy()[:, None]
-        cm = np.stack(rpdf["v"].to_numpy()).astype("float64")
-        cm /= rpdf["n"].to_numpy()[:, None]
-        hits_n, hits_c = [], []
-        block = 1024
-        for s in range(0, len(nids), block):
-            g = nm[s : s + block] @ cm.T  # (block, |corpus bucket|)
-            ii, jj = np.nonzero(g >= margin)
-            hits_n.append(nids[ii + s])
-            hits_c.append(cids[jj])
-        return pd.DataFrame(
-            {"new_id": np.concatenate(hits_n), "corpus_id": np.concatenate(hits_c)}
+            return pd.DataFrame({"new_id": nids[:0], "corpus_id": cids[:0]})
+        a, c = _blocked_hits(
+            nids, lpdf["v"].to_numpy(), lpdf["n"].to_numpy(),
+            cids, rpdf["v"].to_numpy(), rpdf["n"].to_numpy(),
+            margin, upper_only=False,
         )
+        return pd.DataFrame({"new_id": a, "corpus_id": c})
 
     survivors = (
         nb.groupBy("t", "bk")
@@ -745,22 +779,6 @@ def incremental_embedding_neardup(
         .applyInPandas(lambda lp, rp: sweep(lp, rp), pair_schema)
         .dropDuplicates(["new_id", "corpus_id"])
     )
-
-    def side(df: DataFrame, out_id: str, v_name: str, n_name: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        nv = _norm_dim(v, dim)
-        # filter BEFORE the dim-unrolled norm: getItem(i) on a short array
-        # raises under ANSI semantics even for rows the join would prune
-        return _valid_vectors(df, vec_col, dim).select(
-            F.col(id_col).alias(out_id),
-            v.alias(v_name),
-            F.when(nv == 0, 1.0).otherwise(nv).alias(n_name),
-        )
-
-    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
-    return (
-        survivors.join(side(new_df, "new_id", "va", "na"), "new_id")
-        .join(side(corpus_df, "corpus_id", "vb", "nb"), "corpus_id")
-        .select("new_id", "corpus_id", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    return _exact_rescore(
+        survivors, new_df, corpus_df, "new_id", "corpus_id", id_col, vec_col, dim, threshold
     )
