@@ -120,11 +120,13 @@ def main() -> None:
         write_wal(generate_changelog(spark, n_events, n_repos=50, n_paths=500), wal, chunk_size=chunk)
         # The replay is TRIALED like the queries (r3 verdict #1: the one
         # single-trial number left in the harness shipped a 2.3x phantom
-        # regression that a clean re-run disproved). Median is the headline;
-        # per-trial seconds and the median trial's per-phase breakdown go
-        # into the JSON so an outlier self-attributes instead of whipsawing
-        # the gate. Each trial replays into a FRESH table (same WAL).
-        replay_trials = int(os.environ.get("SPARK_GRAFT_REPLAY_TRIALS", "2"))
+        # regression that a clean re-run disproved). Median of 3 is the
+        # headline (r4 ADVICE: the 2-trial default made the lower-median a
+        # best-of-2, systematically flattering the trend line); per-trial
+        # seconds and the median trial's per-phase breakdown go into the
+        # JSON so an outlier self-attributes instead of whipsawing the
+        # gate. Each trial replays into a FRESH table (same WAL).
+        replay_trials = int(os.environ.get("SPARK_GRAFT_REPLAY_TRIALS", "3"))
         trial_secs: list[float] = []
         trial_phases: list[dict[str, float]] = []
         for t in range(replay_trials):
@@ -138,9 +140,10 @@ def main() -> None:
             trial_secs.append(time.perf_counter() - t0)
             trial_phases.append({k: round(v, 3) for k, v in eng.phase_seconds.items()})
             shutil.rmtree(tbl, ignore_errors=True)
-        # lower median by total (for 2 trials: the min — trial 1 pays the
-        # codegen/python-worker warmup), keeping that trial's phase
-        # attribution attached; the full spread is in replay_trial_sec
+        # lower median by total (index (n-1)//2: the true median for odd n;
+        # trial 1 pays the codegen/python-worker warmup, which the median
+        # discounts), keeping that trial's phase attribution attached; the
+        # full spread is in replay_trial_sec
         mid = sorted(range(replay_trials), key=lambda i: trial_secs[i])[(replay_trials - 1) // 2]
         replay_s = trial_secs[mid]
         timings["cdc_replay"] = round(replay_s, 3)

@@ -89,6 +89,13 @@ def _jpeg_dims(b: bytes) -> tuple[int | None, int | None]:
     while i + 4 <= n:
         if b[i] != 0xFF:
             return None, None
+        # the spec permits any number of 0xFF FILL bytes before a marker:
+        # advance past them so the marker byte is never itself read as 0xFF
+        # (which would fall through to the length read and derail the walk)
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            return None, None
         marker = b[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2  # standalone markers have no length field

@@ -25,9 +25,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# numeric dtypes whose cast('long') is a monotone map (truncation toward
+# zero is monotone, which is all the binning needs — the residual predicate
+# re-checks on the original typed columns)
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
 def _to_long(c: Column, typ: str) -> Column:
-    # timestamps compare as epoch seconds; numerics cast straight through
-    return F.unix_timestamp(c) if typ.startswith("timestamp") else c.cast("long")
+    """Monotone map of a point/bound column onto the long bin axis.
+    Timestamps → epoch seconds, dates → days since epoch, numerics → long
+    truncation. Anything else (string, boolean, ...) raises upfront — a
+    silent cast('long') would surface later as an opaque AnalysisException
+    from the planner under ANSI mode."""
+    if typ.startswith("timestamp"):
+        return F.unix_timestamp(c)
+    if typ == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("long")
+    if typ.startswith(_NUMERIC):
+        return c.cast("long")
+    raise ValueError(
+        f"interval_join: unsupported point/bound type {typ!r} — expected "
+        f"timestamp, date, or a numeric type"
+    )
 
 
 def interval_join(

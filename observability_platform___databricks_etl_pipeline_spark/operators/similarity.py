@@ -204,8 +204,9 @@ def build_lsh_index(
     probe buckets' files via Hive partition pruning (the scan never lists,
     let alone decodes, the other 2^planes - 1 - probes partitions). The
     same (dim, n_planes, seed) triple must be passed at query time."""
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    dim = _vec_dim(df, vec_col)  # majority length — a limit(1) probe is
+    # nondeterministic on distributed input and a null/ragged first row
+    # would silently filter most of the corpus out of the index
     planes = _hyperplanes(dim, n_planes, seed)
     (
         _valid_vectors(df, vec_col, dim)
@@ -281,8 +282,11 @@ def _probe_buckets_udf(planes: np.ndarray, multiprobe_hamming: int):
 
 
 def _query_dim(queries: DataFrame, qvec_col: str) -> int:
-    row = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).collect()
-    return int(row[0]["d"]) if row else 0
+    # majority length over non-null rows (shared _vec_dim) — a limit(1)
+    # probe was nondeterministic on distributed query frames and crashed on
+    # a null first vector; with the _valid_vectors(dim) filter downstream a
+    # ragged first row would silently drop most queries (zeroed recall)
+    return _vec_dim(queries, qvec_col)
 
 
 def _query_probe_frame(
@@ -441,8 +445,7 @@ def kmeans_fit(
     is one job over the corpus; centroids (k×dim doubles) come back to the
     driver — the classic offline index build. Empty clusters keep their
     previous centroid. Deterministic for fixed seed/data."""
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(dim_row[0]["d"])
+    dim = _vec_dim(df, vec_col)
     rng = np.random.RandomState(seed)
     centroids = rng.standard_normal((n_centroids, dim)) * 0.1
     vec = F.col(vec_col).cast("array<double>")
@@ -548,13 +551,16 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Majority vector length over non-null rows: robust to a null or
     ragged FIRST row (a limit(1) probe crashed on null and silently zeroed
     recall on ragged — and is not even deterministic on distributed input).
-    One tiny map-side-combined aggregation; ~free next to the sweep."""
+    Ties break toward the LARGER length: corrupt/truncated vectors run
+    short, real embedding dims run long, so on a 50/50 split the long side
+    is the plausible corpus dim. One tiny map-side-combined aggregation;
+    ~free next to the sweep."""
     v = F.col(vec_col).cast("array<double>")
     rows = (
         df.where(v.isNotNull())
         .groupBy(F.size(v).alias("d"))
         .count()
-        .orderBy(F.col("count").desc(), F.col("d"))
+        .orderBy(F.col("count").desc(), F.col("d").desc())
         .limit(1)
         .collect()
     )

@@ -837,10 +837,22 @@ class LakeVault:
             new_n_buckets=nb,
         )
 
-    def expire_snapshots(self, keep_last: int = 3) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 3, orphan_grace_sec: float = 300.0
+    ) -> list[int]:
         """Delete snapshot metadata + unreferenced data files older than the
         last ``keep_last`` snapshots (VACUUM analog — never retain-0: the
         current snapshot and its files are always kept).
+
+        CONCURRENCY CONTRACT: LakeVault is a single-writer format (every
+        commit path assumes it stages for ``current_snapshot_id() + 1``);
+        expire() shares that assumption. The orphan sweep's attempt-id test
+        alone is only airtight under strict serialization — a writer that
+        computed its attempt id before an interleaving commit published
+        would look dead — so staging dirs touched within
+        ``orphan_grace_sec`` are additionally skipped (belt and braces; a
+        genuinely dead dir is swept by the NEXT expire once the grace
+        elapses). Pass 0 only when no writer can possibly be in flight.
 
         TWO-PASS by necessity: expired snapshots routinely SHARE carried
         manifests with each other (a delta commit carries its parent's refs;
@@ -895,6 +907,16 @@ class LakeVault:
                 # possible in-flight writer (stages for current+1): never
                 # touched — not even when it currently holds no parquet (the
                 # window between new_write_dir() and the first task commit)
+                continue
+            try:
+                recent = (time.time() - os.path.getmtime(full)) < orphan_grace_sec
+            except OSError:
+                recent = True  # racing a concurrent rmtree/commit: skip
+            if recent:
+                # grace window: a writer that computed its attempt id just
+                # before an interleaving commit would fail the attempt-id
+                # test while still writing — mtime keeps it safe until it
+                # has verifiably gone quiet
                 continue
             parquet = [
                 os.path.relpath(os.path.join(dp, fn), self.root)

@@ -307,9 +307,16 @@ def test_expire_sweeps_crash_orphaned_write_dirs(spark, tmp_path):
     # be an in-flight writer)
     v.expire_snapshots(keep_last=3)
     assert _os.path.isdir(orphan)
-    # a real commit supersedes the attempt; now the orphan is provably dead
+    # a real commit supersedes the attempt — but within the mtime grace
+    # window the dir is STILL protected (r4 ADVICE: a writer that computed
+    # its attempt id just before an interleaving commit looks dead by the
+    # attempt-id test alone)
     _commit_df(spark, v, df, "b0", replace_buckets=None)
     v.expire_snapshots(keep_last=3)
+    assert _os.path.isdir(orphan)
+    # once the grace elapses (grace 0 = operator asserts no writer is in
+    # flight) the provably-dead dir is swept
+    v.expire_snapshots(keep_last=3, orphan_grace_sec=0.0)
     assert not _os.path.isdir(orphan)
     assert v.scan().count() == 8  # committed data untouched
 
