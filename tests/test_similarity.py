@@ -239,3 +239,103 @@ def test_incremental_embedding_neardup_asymmetric(spark, vecs):
     assert (9003, 3) in got and (9003, 7) in got  # 3's twin 7 also matches
     assert all(n >= 9000 for n, _c in got)        # never corpus-internal
     assert all(c < 9000 for _n, c in got)         # never batch-internal
+
+
+def test_ivf_assign_arrow_matches_literal(spark, vecs):
+    """r4 verdict #2: the Arrow matmul+argmin assignment must equal the
+    literal-tree argmin row-for-row on a seeded corpus, the small-k path
+    must stay pure-JVM (no Python in the plan — it is the SQL-oracle-
+    reproducible reference), and the auto-routing must flip on the k x dim
+    literal budget."""
+    import numpy as np
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        _IVF_LITERAL_MAX_TERMS,
+        ivf_assign,
+    )
+
+    df, m = vecs
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((6, m.shape[1]))
+
+    lit = ivf_assign(df, cents, use_arrow=False)
+    arw = ivf_assign(df, cents, use_arrow=True)
+    lit_map = {r["vec_id"]: r["centroid"] for r in lit.collect()}
+    arw_map = {r["vec_id"]: r["centroid"] for r in arw.collect()}
+    assert lit_map == arw_map and len(lit_map) == df.count()
+
+    # physical strategies: literal path pure JVM, arrow path ArrowEval
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    arw_plan = arw._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in lit_plan
+    assert "ArrowEvalPython" in arw_plan
+
+    # auto-routing: 6 x 16 = 96 terms <= budget -> literal (no Python)
+    assert 6 * m.shape[1] <= _IVF_LITERAL_MAX_TERMS
+    auto_plan = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in auto_plan
+    # a wide centroid matrix must route to Arrow (never reach the planner
+    # as a literal tree)
+    wide = rng.standard_normal((_IVF_LITERAL_MAX_TERMS // m.shape[1] + 1, m.shape[1]))
+    wide_plan = ivf_assign(df, wide)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in wide_plan
+
+
+def test_kmeans_arrow_means_match_avg(spark, vecs):
+    """The Arrow partial-sum recompute (the >1k-dim path) must converge to
+    the same centroids as the avg-column recompute — same seed, same
+    assignments, means differing only by float association (~1e-12)."""
+    import numpy as np
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    df, _ = vecs
+    c_avg = kmeans_fit(df, n_centroids=3, n_iter=4, seed=7, use_arrow_means=False)
+    c_arw = kmeans_fit(df, n_centroids=3, n_iter=4, seed=7, use_arrow_means=True)
+    assert np.allclose(c_avg, c_arw, atol=1e-9)
+
+
+def test_dim768_blas_default_matches_fold(spark):
+    """r4 verdict #4: above _UNROLL_MAX_DIM the dot/norm route to the Arrow
+    BLAS path by default. At dim 768 the BLAS and fold scores agree to well
+    inside the round-to-6 contract (association gap ~1e-14), and
+    brute_force_topk returns the numpy-exact ranking."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.operators.similarity import (
+        _UNROLL_MAX_DIM,
+        _dot,
+        _dot_dim,
+        _norm_dim,
+        brute_force_topk,
+    )
+
+    dim, n = 768, 60
+    assert dim > _UNROLL_MAX_DIM
+    rng = np.random.RandomState(11)
+    m = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    # routed column vs interpreted fold: same values inside 1e-9
+    v = F.col("embedding")
+    both = df.select(
+        _dot_dim(v, v, dim).alias("blas"),
+        _dot(v, v).alias("fold"),
+        _norm_dim(v, dim).alias("nblas"),
+    ).collect()
+    for r in both:
+        assert abs(r["blas"] - r["fold"]) <= 1e-9 * max(1.0, abs(r["fold"]))
+        assert abs(r["nblas"] - r["fold"] ** 0.5) <= 1e-9 * max(1.0, abs(r["fold"]))
+
+    # the routed plan is Arrow, not a 768-term codegen tree
+    plan = df.select(_dot_dim(v, v, dim).alias("d"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+    # end-to-end: top-k at 768 dims matches the numpy oracle
+    q = [float(x) for x in m[5]]
+    got = [r["vec_id"] for r in brute_force_topk(df, q, k=8).collect()]
+    assert got == _numpy_topk(m, np.asarray(q), 8)
