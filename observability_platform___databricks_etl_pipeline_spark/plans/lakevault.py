@@ -468,6 +468,119 @@ class LakeVault:
             ).drop("__ord")
         return out
 
+    def scan_changes(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Incremental snapshot-diff read — "the table as a changelog", the
+        Iceberg/Delta incremental-consumption primitive (r4 verdict #3): the
+        per-key changes between two snapshots, WITHOUT re-reading the whole
+        table. Downstream pipelines tail this the way this engine tails its
+        WAL (reference analog: the Bronze→Silver→Gold chain re-reads whole
+        partitions, ``02_enrich_events.py:69-74``, precisely because Delta's
+        incremental read isn't used there).
+
+        Cost is O(buckets touched since ``from_snapshot_id``), driven purely
+        by manifest metadata: the affected-bucket set is every bucket whose
+        live FILE SET differs between the two snapshots (files are
+        immutable, so any data change implies a file-set change — including
+        a bucket replaced with nothing by a pure-delete rewrite). Both
+        sides scan ONLY those buckets and the diff join shuffles only their
+        rows; untouched buckets are carried by reference in the manifests
+        and never reach Spark.
+
+        Returns one row per key whose row-state differs between the two
+        snapshots, with columns:
+
+        - the key columns;
+        - ``_change_type``: ``insert`` (absent at A, present at B),
+          ``update`` (present at both, any column differs), ``delete``
+          (present at A, physically absent at B — note an engine-level
+          tombstone lands as ``update`` here; ``CDCEngine.changes`` maps
+          tombstone transitions to logical insert/update/delete);
+        - every non-key column: the POST-image (B) for insert/update, the
+          pre-image (A) for delete;
+        - ``_before``: struct of the A-side non-key columns (null for
+          insert) so callers can classify transitions without re-reading A.
+
+        The A side is re-mapped to B's schema (columns added between A and
+        B read as typed nulls at A — identical to how B itself reads files
+        written under A's schema), so the struct comparison is well-typed
+        across schema evolution. If the table was re-bucketed between A and
+        B the before side falls back to a full scan (pre-rebucket bucket
+        ids are not comparable); the rewrite that re-bucketed it made every
+        bucket "affected" anyway."""
+        snap_b = self.snapshot(to_snapshot_id)
+        to_id = snap_b.snapshot_id
+        if from_snapshot_id > to_id:
+            raise ValueError(
+                f"scan_changes: from_snapshot_id {from_snapshot_id} is newer "
+                f"than to_snapshot_id {to_id}"
+            )
+        snap_a = self.snapshot(from_snapshot_id)
+        # affected = buckets whose LIVE FILE SET differs between A and B.
+        # Any data change implies a file change (files are immutable), and
+        # this — unlike "buckets of post-A files" — also catches a bucket
+        # REPLACED WITH NOTHING (a pure-delete rewrite adds no file there).
+        # Pure manifest metadata, never lists the filesystem.
+        def per_bucket(snap: Snapshot) -> dict[Any, set]:
+            out: dict[Any, set] = {}
+            for f in snap.files:
+                out.setdefault(f["bucket"], set()).add(f["path"])
+            return out
+
+        pb_a, pb_b = per_bucket(snap_a), per_bucket(snap_b)
+        affected = sorted(
+            b
+            for b in set(pb_a) | set(pb_b)
+            if b is not None and pb_a.get(b, set()) != pb_b.get(b, set())
+        )
+        # bucket-less files (legacy manifests) poison the bucket set: fall
+        # back to a full diff rather than miss their keys
+        full_diff = pb_a.get(None, set()) != pb_b.get(None, set())
+        b_buckets = None if full_diff else affected
+        # a rebucket between A and B changes what bucket ids MEAN at A
+        rebucketed = snap_a.n_buckets != snap_b.n_buckets
+        a_buckets = None if (full_diff or rebucketed) else affected
+
+        after = self.scan(to_id, buckets=b_buckets)
+        before = self.scan(from_snapshot_id, buckets=a_buckets)
+        # align the A side to B's schema BY COLUMN ID (the same rename-
+        # promotion rule scan() applies to old-schema files): a column
+        # renamed between A and B is the SAME column, a column added since
+        # A reads as a typed null at A
+        a_by_id = {c["id"]: c["name"] for c in snap_a.schema.columns}
+        sel = []
+        for c in snap_b.schema.columns:
+            typ = SPARK_TYPE.get(c["type"], c["type"])
+            old_name = a_by_id.get(c["id"])
+            if old_name is None:
+                sel.append(F.lit(None).cast(typ).alias(c["name"]))
+            else:
+                sel.append(F.col(old_name).cast(typ).alias(c["name"]))
+        before = before.select(*sel)
+
+        keys = list(self.key_cols)
+        non_key = [c for c in after.columns if c not in keys]
+        b_side = before.select(*keys, F.struct(*non_key).alias("_before"))
+        a_side = after.select(*keys, F.struct(*non_key).alias("__after"))
+        j = b_side.join(a_side, keys, "full_outer")
+        change = (
+            F.when(F.col("_before").isNull(), F.lit("insert"))
+            .when(F.col("__after").isNull(), F.lit("delete"))
+            .when(~F.col("_before").eqNullSafe(F.col("__after")), F.lit("update"))
+        )
+        img = F.when(F.col("__after").isNull(), F.col("_before")).otherwise(F.col("__after"))
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *keys,
+                F.col("_change_type"),
+                *[img[c].alias(c) for c in non_key],
+                "_before",
+            )
+        )
+
     # ---- commit ----------------------------------------------------------
 
     # Above this many files, footer stats are harvested by EXECUTORS instead

@@ -285,6 +285,56 @@ class CDCEngine:
             .where((F.col("repo") == repo) & ~F.col("is_deleted"))
         )
 
+    def changes(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Logical change feed between two snapshots — the read-side half of
+        the CDC engine (r4 verdict #3): what a downstream pipeline consumes
+        to incrementally follow THIS table, the way this engine follows its
+        WAL. Built on ``LakeVault.scan_changes`` (cost O(buckets touched
+        since A), manifest-metadata-driven), then tombstone transitions are
+        mapped to the logical feed a consumer expects:
+
+        - row appears, live              → ``insert``
+        - tombstone → live               → ``insert`` (re-insert after delete)
+        - live → live, any column moved  → ``update``
+        - live → tombstone               → ``delete`` (pre-image values —
+          what WAS live — because the tombstone row itself carries the
+          delete event's bookkeeping, not the deleted content)
+        - tombstone churn (T→T) and rows born dead are dropped: they never
+          were and never became visible state.
+
+        Columns: the table's columns (minus ``_before``) plus
+        ``_change_type``."""
+        ch = self.vault.scan_changes(from_snapshot_id, to_snapshot_id)
+        vt = F.col("_change_type")
+        before_del = F.col("_before")["is_deleted"]
+        after_del = F.col("is_deleted")  # pre-image here only when vt='delete'
+        logical = (
+            F.when((vt == "insert") & ~after_del, F.lit("insert"))
+            .when((vt == "update") & before_del & ~after_del, F.lit("insert"))
+            .when((vt == "update") & ~before_del & ~after_del, F.lit("update"))
+            .when((vt == "update") & ~before_del & after_del, F.lit("delete"))
+            .when((vt == "delete") & ~after_del, F.lit("delete"))
+        )
+        out_cols = [c for c in ch.columns if c not in ("_change_type", "_before")]
+        # logical deletes surface the PRE-image (the last live row); every
+        # other change surfaces the post-image scan_changes already built
+        use_before = (vt == "update") & ~before_del & after_del
+        return (
+            ch.withColumn("_logical", logical)
+            .where(F.col("_logical").isNotNull())
+            .select(
+                *[
+                    F.when(use_before, F.col("_before")[c]).otherwise(F.col(c)).alias(c)
+                    if c not in self.vault.key_cols
+                    else F.col(c)
+                    for c in out_cols
+                ],
+                F.col("_logical").alias("_change_type"),
+            )
+        )
+
     def ingest_metrics(self) -> DataFrame:
         """Per-batch per-repo rollup table (Gold analog; empty if rollup off)."""
         if not os.path.isdir(self.metrics_dir):
