@@ -988,7 +988,20 @@ class LakeVault:
         for sid in expired_ids:
             snap = self.snapshot(sid)
             dead_manifests.update(r["path"] for r in snap.manifest_refs)
-            dead_files.update(f["path"] for f in snap.files)
+            if snap.is_legacy():
+                dead_files.update(f["path"] for f in snap.files)
+                continue
+            for ref in snap.manifest_refs:
+                try:
+                    with open(os.path.join(self.vault_dir, ref["path"])) as f:
+                        dead_files.update(e["path"] for e in json.load(f)["files"])
+                except FileNotFoundError:
+                    # a PRIOR crashed expiry already deleted this manifest.
+                    # Deletion order is data files → manifests → snapshots,
+                    # so that run had finished the ENTIRE data-file pass
+                    # before touching any manifest — nothing this manifest
+                    # listed can still be leaked; re-runs just carry on.
+                    continue
         # pass 2: data files, then manifests, then snapshot JSONs — so a
         # crash mid-expiry leaves reruns able to re-enumerate what's left
         for rel in sorted(dead_files - live_files):
