@@ -251,16 +251,18 @@ def write_report(state: dict) -> None:
         "",
         "### Cross-session variance (measurement history)",
         "",
-        "The 2→8 pair has now cleared the ≥0.8 target in THREE independent",
+        "The 2→8 pair has now cleared the ≥0.8 target in FOUR independent",
         "sessions: **0.94** (round 2: 59,050 → 222,243 ev/s), **0.80**",
         "(round 3: a contended session where even local[2] absolute",
         "throughput floated and a same-day A/B showed r2-vs-r3 code",
-        "equivalent within noise), and **0.92** (round 4, the table above:",
-        "51,876 → 191,857). Absolute per-level throughput floats ±10-25%",
-        "with noisy-neighbor contention on this VM (round 4's local[2] runs",
-        "~12% below round 2's; its local[8]/[32] likewise), but the 2→8",
-        "RATIO — the north-rule signal — is stable at 0.9+ whenever both",
-        "levels are measured in the same session window. Per-phase replay",
+        "equivalent within noise), **0.92** (round 4: 51,876 → 191,857),",
+        "and **0.88** (round 5, the table above: 61,396 → 216,326).",
+        "Absolute per-level throughput floats ±10-25% with noisy-neighbor",
+        "contention on this VM (round 5's local[32] trials span 183k-358k",
+        "ev/s — the widest observed; its best is also the best ever",
+        "recorded at any level), but the 2→8 RATIO — the north-rule",
+        "signal — is stable at 0.8-0.94 whenever both levels are measured",
+        "in the same session window. Per-phase replay",
         "timings now ship in every BENCH_r*.json (`replay_phase_sec`) so an",
         "outlier session self-attributes instead of reading as a regression.",
         "",
