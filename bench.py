@@ -139,7 +139,20 @@ def main() -> None:
             res = eng.replay(wal)
             trial_secs.append(time.perf_counter() - t0)
             trial_phases.append({k: round(v, 3) for k, v in eng.phase_seconds.items()})
-            shutil.rmtree(tbl, ignore_errors=True)
+            if t < replay_trials - 1:  # keep the last table for scan_changes
+                shutil.rmtree(tbl, ignore_errors=True)
+        # incremental snapshot-diff read (r5): the downstream-consumer
+        # primitive, timed on the last trial's table between the mid-replay
+        # snapshot and HEAD — cost is O(buckets touched since A), manifest
+        # metadata only, never a WAL re-read
+        ids = eng.vault.snapshot_ids()
+        mid_snap = ids[len(ids) // 2]
+        ch_secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(eng.changes(mid_snap))
+            ch_secs.append(time.perf_counter() - t0)
+        timings["cdc_scan_changes"] = round(statistics.median(ch_secs), 3)
         # lower median by total (index (n-1)//2: the true median for odd n;
         # trial 1 pays the codegen/python-worker warmup, which the median
         # discounts), keeping that trial's phase attribution attached; the
