@@ -212,14 +212,37 @@ class Snapshot:
         return not self.manifest_refs and self._files_cache is not None and bool(self._files_cache)
 
 
-def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any]:
-    """(rows, bytes, key_min, key_max) from one parquet FOOTER — no data
-    pages read. Shared by the driver-side and distributed harvest paths
-    (must stay module-level: the executor path pickles it into a
-    mapInPandas closure)."""
+# Per-column stats: strings longer than this are not recorded (a truncated
+# max would need round-up semantics to stay a sound bound — skip instead;
+# pruning conservatively keeps the file). Key min/max have no cap: keys are
+# short by construction and their pruning predates this limit.
+_STAT_STR_MAX = 64
+
+
+def _stat_val(v: Any) -> Any:
+    """JSON-able, comparison-safe stat value or None (drop the column)."""
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "replace")
+    if isinstance(v, str):
+        return v if len(v) <= _STAT_STR_MAX else None
+    if isinstance(v, (bool, int, float)):
+        return v
+    return None  # date/datetime/decimal: not JSON-able — no stats
+
+
+def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any, dict[str, list]]:
+    """(rows, bytes, key_min, key_max, col_stats) from one parquet FOOTER —
+    no data pages read. ``col_stats`` maps each leaf column's PHYSICAL name
+    (the name under the schema version the file was written with — scan
+    re-maps it by column id) to ``[min, max]``; a column appears only when
+    EVERY row group carries min/max stats (a statless row group could hold
+    anything, so a partial bound is not a bound). Shared by the driver-side
+    and distributed harvest paths (must stay module-level: the executor path
+    pickles it into a mapInPandas closure)."""
     md = pq.ParquetFile(full).metadata
     rows = md.num_rows
     kmin = kmax = None
+    col_stats: dict[str, list] = {}
     try:
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         if key0 in names:
@@ -241,9 +264,25 @@ def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any]:
                     # JSON write — pruning conservatively keeps the file.
                     # Applies identically on the driver and executor paths.
                     kmin = kmax = None
+        for j, name in enumerate(names):
+            if "." in name:
+                continue  # nested leaf (array/struct path): not a scan target
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                continue
+            lo, hi = _stat_val(min(mins)), _stat_val(max(maxs))
+            if lo is not None and hi is not None:
+                col_stats[name] = [lo, hi]
     except Exception:
         pass
-    return rows, os.path.getsize(full), kmin, kmax
+    return rows, os.path.getsize(full), kmin, kmax, col_stats
 
 
 def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
@@ -379,6 +418,7 @@ class LakeVault:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         key_range: tuple[str | None, str | None] | None = None,
+        column_ranges: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan. ``buckets`` prunes at file level via manifest
         metadata (reference analog: Delta partition filter ``02:69-74`` —
@@ -387,9 +427,19 @@ class LakeVault:
         [min_key, max_key] span (first key column) doesn't intersect the
         range — the reference's timed pruning demo
         (``04_hive_sql_analysis.py:236-273``) generalized to key stats.
-        Pruning is a SUPERSET guarantee: kept files may contain out-of-range
-        rows, so callers still apply the row predicate (files without stats
-        are conservatively kept). Point lookup: ``key_range=(k, k)``.
+        ``column_ranges={col: (lo, hi)}`` extends that skipping to ANY
+        column (Iceberg-style data skipping): a file is dropped when its
+        manifest ``col_stats`` span for the column can't intersect the range
+        (``None`` bound = open side). Column names are CURRENT names; each
+        file's stats are looked up under the file's own schema version by
+        column id, so skipping keeps working across renames; on a snapshot
+        with live MOR delta files the column skipping is a no-op (see the
+        inline note — dropping a delta winner would resurrect its stale base
+        row). Pruning is a
+        SUPERSET guarantee: kept files may contain out-of-range rows, so
+        callers still apply the row predicate (files without stats — old
+        manifests, long strings, all-null columns — are conservatively
+        kept). Point lookup: ``key_range=(k, k)``.
         Rename promotion: files written under older schema versions are read
         with their original column names and re-mapped to current names by
         column id; columns added later are backfilled as typed nulls."""
@@ -408,6 +458,42 @@ class LakeVault:
                 or f.get("max_key") is None
                 or ((lo is None or f["max_key"] >= lo) and (hi is None or f["min_key"] <= hi))
             ]
+        # Non-key column skipping is applied only when no candidate file is a
+        # MOR delta: under the read-side LWW merge a delta file may carry the
+        # WINNING row of a key whose value moved out of range — dropping it
+        # would resurrect the stale in-range base row. (bucket/key_range
+        # pruning stays safe under MOR because base and delta rows of a key
+        # share bucket and key span.) Skipping the optimization is always
+        # correct; compact() folds deltas and restores it.
+        if column_ranges:
+            cur_by_name = {c["name"]: c["id"] for c in cur.columns}
+            unknown = sorted(set(column_ranges) - set(cur_by_name))
+            if unknown:
+                raise ValueError(
+                    f"column_ranges refers to columns not in the current schema: {unknown}"
+                )
+        if column_ranges and not any(f.get("delta") for f in files):
+
+            def _survives(f: dict[str, Any]) -> bool:
+                cs = f.get("col_stats")
+                if not cs:
+                    return True  # pre-col_stats manifest: keep
+                old_by_id = {c["id"]: c["name"] for c in snap.schemas[f["schema_id"]].columns}
+                for col, (lo, hi) in column_ranges.items():
+                    span = cs.get(old_by_id.get(cur_by_name[col]))
+                    if span is None:
+                        continue  # no sound bound for this column in this file
+                    try:
+                        if (lo is not None and span[1] < lo) or (hi is not None and span[0] > hi):
+                            return False
+                    except TypeError:
+                        # caller's bound type doesn't compare with the stored
+                        # stat type (e.g. str range on an int column): keep
+                        # the file — the row predicate decides
+                        continue
+                return True
+
+            files = [f for f in files if _survives(f)]
         if not files:
             ddl = ", ".join(
                 f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
@@ -619,7 +705,7 @@ class LakeVault:
 
         entries: list[dict[str, Any]] = []
         for full, bucket in files:
-            rows, nbytes, kmin, kmax = stats[full]
+            rows, nbytes, kmin, kmax, cstats = stats[full]
             entry = {
                 "path": os.path.relpath(full, self.root),
                 "rows": rows,
@@ -629,6 +715,8 @@ class LakeVault:
                 "min_key": kmin,
                 "max_key": kmax,
             }
+            if cstats:
+                entry["col_stats"] = cstats
             if delta:
                 entry["delta"] = True  # absent (not False) in COW entries: old snapshots stay readable
             entries.append(entry)
@@ -636,7 +724,7 @@ class LakeVault:
 
     def _harvest_stats_distributed(
         self, paths: list[str], key0: str
-    ) -> dict[str, tuple[int, int, Any, Any]]:
+    ) -> dict[str, tuple[int, int, Any, Any, dict[str, list]]]:
         """Footer-stat harvest as ONE parallel Spark job over the path list:
         executors open footers (pyarrow, ~KB reads), the driver collects only
         (path, rows, bytes, min, max) tuples — O(files) bytes, not O(files)
@@ -651,10 +739,12 @@ class LakeVault:
             for pdf in it:
                 recs = []
                 for p in pdf["path"]:
-                    rows, nbytes, kmin, kmax = _parquet_footer_stats(p, key0)
-                    recs.append((p, rows, nbytes, json.dumps(kmin), json.dumps(kmax)))
+                    rows, nbytes, kmin, kmax, cstats = _parquet_footer_stats(p, key0)
+                    recs.append(
+                        (p, rows, nbytes, json.dumps(kmin), json.dumps(kmax), json.dumps(cstats))
+                    )
                 yield pd.DataFrame(
-                    recs, columns=["path", "rows", "bytes", "min_key", "max_key"]
+                    recs, columns=["path", "rows", "bytes", "min_key", "max_key", "col_stats"]
                 )
 
         n_slices = max(1, min(len(paths), self.spark.sparkContext.defaultParallelism))
@@ -662,12 +752,20 @@ class LakeVault:
             self.spark.createDataFrame([(p,) for p in paths], "path string")
             .repartition(n_slices)
             .mapInPandas(
-                harvest, "path string, rows long, bytes long, min_key string, max_key string"
+                harvest,
+                "path string, rows long, bytes long, min_key string, max_key string, "
+                "col_stats string",
             )
             .collect()
         )
         return {
-            r["path"]: (r["rows"], r["bytes"], json.loads(r["min_key"]), json.loads(r["max_key"]))
+            r["path"]: (
+                r["rows"],
+                r["bytes"],
+                json.loads(r["min_key"]),
+                json.loads(r["max_key"]),
+                json.loads(r["col_stats"]),
+            )
             for r in rows
         }
 

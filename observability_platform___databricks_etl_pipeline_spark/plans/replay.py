@@ -270,9 +270,18 @@ class CDCEngine:
         self._write_checkpoint(wal_dir, chunks)
         return result
 
-    def current_state(self, snapshot_id: int | None = None) -> DataFrame:
-        """Live rows of the final-state table (tombstones filtered)."""
-        return self.vault.scan(snapshot_id).where(~F.col("is_deleted"))
+    def current_state(
+        self,
+        snapshot_id: int | None = None,
+        column_ranges: dict | None = None,
+    ) -> DataFrame:
+        """Live rows of the final-state table (tombstones filtered).
+        ``column_ranges={col: (lo, hi)}`` turns on manifest data skipping for
+        the caller's predicate columns (superset guarantee — still apply the
+        row filter; see ``LakeVault.scan``)."""
+        return self.vault.scan(snapshot_id, column_ranges=column_ranges).where(
+            ~F.col("is_deleted")
+        )
 
     def lookup(self, repo: str) -> DataFrame:
         """Point lookup of one repo's live files: manifest key-range pruning

@@ -477,3 +477,91 @@ def test_distributed_harvest_preserves_numeric_key_stats(spark, tmp_path):
     import pyspark.sql.functions as F
     got = v.scan(key_range=(5, 9)).where(F.col("k").between(5, 9)).count()
     assert got == 5
+
+
+# ---- per-column stats + data skipping (round 5) ---------------------------
+
+
+def _mk_scored(spark, tmp_path, with_quality=False):
+    cols = [("repo", "string"), ("path", "string"), ("score", "long"),
+            ("content_sha256", "string"), ("last_seq", "long"),
+            ("is_deleted", "boolean")]
+    if with_quality:
+        cols.insert(3, ("quality", "double"))
+    return LakeVault.create(spark, str(tmp_path / "t"), cols,
+                            key_cols=("repo", "path"), n_buckets=4)
+
+
+def _scored_df(spark, prefix, base_score, quality=None):
+    exprs = ["concat('r', id % 4) repo", f"concat('{prefix}', id) path",
+             f"id + {base_score} score"]
+    if quality is not None:
+        exprs.append(f"cast(id as double) / 10 + {quality} quality")
+    exprs += ["cast(md5(cast(id as string)) as string) content_sha256",
+              "id last_seq", "false is_deleted"]
+    return spark.range(100).selectExpr(*exprs)
+
+
+def test_column_stats_data_skipping(spark, tmp_path):
+    """scan(column_ranges=...) skips files whose manifest col_stats span
+    can't intersect the range — and stays a superset (row-filter parity)."""
+    v = _mk_scored(spark, tmp_path)
+    _commit_df(spark, v, _scored_df(spark, "lo", 0), "lo", replace_buckets=[])
+    _commit_df(spark, v, _scored_df(spark, "hi", 1000), "hi", replace_buckets=[])
+    assert all(e.get("col_stats", {}).get("score") for e in v.snapshot().files)
+
+    full = v.scan().where("score >= 1000").orderBy("path")
+    pruned = v.scan(column_ranges={"score": (1000, None)}).where("score >= 1000").orderBy("path")
+    assert pruned.collect() == full.collect()
+    # the skip actually happened: no file from the lo commit is read
+    assert 0 < len(pruned.inputFiles()) < len(v.scan().inputFiles())
+    assert all("-lo-" not in p for p in pruned.inputFiles())
+    # half-open low side + point range
+    assert (v.scan(column_ranges={"score": (None, 50)}).where("score <= 50").count()
+            == full.sparkSession.createDataFrame([], "x int").count() + 51)
+    assert all("-hi-" not in p
+               for p in v.scan(column_ranges={"score": (None, 50)}).inputFiles())
+    # unknown column is a loud error, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="column_ranges"):
+        v.scan(column_ranges={"nope": (1, 2)})
+
+
+def test_column_skipping_survives_rename(spark, tmp_path):
+    """col_stats are stored under the file's PHYSICAL column names and
+    looked up by column id — a rename must not zero out skipping (nor,
+    worse, mis-prune). Mirrors the gate WAL's quality->quality_score
+    rename."""
+    v = _mk_scored(spark, tmp_path, with_quality=True)
+    _commit_df(spark, v, _scored_df(spark, "lo", 0, quality=0.0), "lo", replace_buckets=[])
+    _commit_df(spark, v, _scored_df(spark, "hi", 0, quality=100.0), "hi", replace_buckets=[])
+    s2 = v.snapshot().schema.rename_column("quality", "quality_score")
+    v.commit(add_write_dir=None, replace_buckets=[], batch_id="ren", manifest={}, new_schema=s2)
+
+    full = v.scan().where("quality_score >= 100").orderBy("path")
+    pruned = (v.scan(column_ranges={"quality_score": (100.0, None)})
+                .where("quality_score >= 100").orderBy("path"))
+    assert pruned.collect() == full.collect()
+    assert full.count() == 100
+    assert all("-lo-" not in p for p in pruned.inputFiles())
+
+
+def test_column_skipping_noop_under_mor_deltas(spark, tmp_path):
+    """A MOR delta can carry the WINNING row of a key whose value moved out
+    of range; skipping by a non-key column there would resurrect the stale
+    in-range base row. The scan must disable column skipping while deltas
+    are live (correct result, no pruning) and re-enable it after compact."""
+    v = _mk_scored(spark, tmp_path)
+    _commit_df(spark, v, _scored_df(spark, "k", 1000), "base", replace_buckets=None)
+    # update every key: score drops OUT of [1000, inf), seq advances
+    upd = _scored_df(spark, "k", 0).withColumn("last_seq", F.col("last_seq") + 1000)
+    _commit_df(spark, v, upd, "upd", replace_buckets=[], delta=True)
+
+    ranged = v.scan(column_ranges={"score": (1000, None)}).where("score >= 1000")
+    assert ranged.count() == 0  # LWW winners all < 1000: nothing resurrected
+    assert set(v.scan(column_ranges={"score": (1000, None)}).inputFiles()) == set(
+        v.scan().inputFiles())  # skipping was a no-op, not a wrong prune
+    v.compact()
+    after = v.scan(column_ranges={"score": (1000, None)})
+    assert after.where("score >= 1000").count() == 0
+    assert len(after.inputFiles()) == 0  # deltas folded: skipping active again
