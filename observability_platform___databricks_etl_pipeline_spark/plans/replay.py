@@ -124,6 +124,25 @@ class ReplayResult:
     snapshot_id: int = -1
 
 
+@dataclass
+class TailBatch:
+    """One span of the table's change feed, yielded by ``CDCEngine.tail``.
+
+    ``batch_id`` is deterministic in the snapshot span, so an idempotent
+    downstream sink (e.g. another CDCEngine, or any exactly-once writer
+    keyed on batch id) deduplicates the at-least-once redelivery a crash
+    between processing and cursor advance can cause — the same offset-range
+    identity trick the engine itself uses on its WAL."""
+
+    from_snapshot_id: int
+    to_snapshot_id: int
+    feed: DataFrame
+
+    @property
+    def batch_id(self) -> str:
+        return f"tail-{self.from_snapshot_id}-{self.to_snapshot_id}"
+
+
 class CDCEngine:
     """Reusable change-event processor over a LakeVault COW table."""
 
@@ -343,6 +362,67 @@ class CDCEngine:
                 F.col("_logical").alias("_change_type"),
             )
         )
+
+    def tail(
+        self,
+        checkpoint_dir: str,
+        start_snapshot_id: int = 0,
+        poll_interval_s: float = 1.0,
+        max_idle_polls: int | None = None,
+    ):
+        """Continuously consume this table's change feed — the downstream
+        half of ``changes()`` (Delta/Iceberg streaming-read analog): yields a
+        ``TailBatch`` per new snapshot span, with a durable cursor in
+        ``checkpoint_dir`` so a restarted consumer resumes where it left off.
+
+        Contract (mirrors how the engine itself tails its WAL):
+
+        - the cursor advances AFTER the consumer returns from processing a
+          yielded batch (i.e. when it asks for the next one) — a consumer
+          crash mid-batch re-delivers the same span on restart
+          (at-least-once), and ``TailBatch.batch_id`` is deterministic in the
+          span so an idempotent sink upgrades that to exactly-once;
+        - spans never overlap and cover every snapshot transition once:
+          applying the feeds in order to an empty store materializes
+          ``current_state()`` (pinned by test);
+        - ``start_snapshot_id=0`` (on a fresh checkpoint) emits the whole
+          existing table as inserts first — Delta's ``startingVersion=0``;
+        - a cursor that predates retention (its snapshot expired) raises
+          with the remediation instead of silently re-reading wrong spans;
+        - ``max_idle_polls`` bounds waiting for tests/drains: the generator
+          returns after that many consecutive empty polls (``None`` = run
+          until the caller breaks).
+        """
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        cursor_path = os.path.join(checkpoint_dir, "cursor.json")
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                last = json.load(f)["snapshot_id"]
+        else:
+            last = start_snapshot_id
+        idle = 0
+        while True:
+            head = self.vault.current_snapshot_id()
+            if head > last:
+                idle = 0
+                try:
+                    feed = self.changes(last, head)
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        f"tail cursor at snapshot {last} predates this table's "
+                        f"retention (expire_snapshots removed it): {e}. "
+                        "Re-seed the consumer from a full scan at a live "
+                        "snapshot, then tail from there."
+                    ) from e
+                yield TailBatch(last, head, feed)
+                # the consumer came back for more => the span is processed
+                _atomic_write_json(cursor_path, {"snapshot_id": head})
+                last = head
+            else:
+                idle += 1
+                if max_idle_polls is not None and idle >= max_idle_polls:
+                    return
+                time.sleep(poll_interval_s)
 
     def ingest_metrics(self) -> DataFrame:
         """Per-batch per-repo rollup table (Gold analog; empty if rollup off)."""

@@ -252,3 +252,92 @@ def test_engine_changes_mor_mode(spark, tmp_path):
         }
     assert feeds["cow"] == feeds["mor"]
     assert len(feeds["cow"]) > 0
+
+
+def test_tail_spans_resume_and_materialize(spark, tmp_path):
+    """CDCEngine.tail: a durable-cursor change-feed consumer. Spans never
+    overlap and cover every snapshot transition once (applying them in order
+    to an empty store materializes current_state); a consumer that crashes
+    mid-batch gets the SAME span redelivered on restart (at-least-once with
+    a deterministic batch_id for idempotent upgrade)."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 3000, seed=21), wal, chunk_size=1000)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False)
+    cp = str(tmp_path / "consumer-cp")
+
+    store: dict = {}
+
+    def apply(feed):
+        for r in feed.collect():
+            k = (r["repo"], r["path"])
+            if r["_change_type"] == "delete":
+                store.pop(k, None)
+            else:
+                store[k] = (r["last_seq"], r["content_sha256"])
+
+    # batch 1 lands; first tail batch is the whole table as inserts
+    eng.replay(wal, max_batches=1)
+    s1 = eng.vault.current_snapshot_id()
+    g1 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    b1 = next(g1)
+    assert (b1.from_snapshot_id, b1.to_snapshot_id) == (0, s1)
+    assert b1.batch_id == f"tail-0-{s1}"
+    assert {r["_change_type"] for r in b1.feed.select("_change_type").distinct().collect()} <= {
+        "insert"
+    }
+    apply(b1.feed)
+
+    # crash before requesting the next batch: cursor must NOT advance
+    g1.close()
+    g2 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    b1r = next(g2)
+    assert b1r.batch_id == b1.batch_id  # same span redelivered
+    apply(b1r.feed)  # idempotent by key: same store either way
+
+    # consumer asks for more -> cursor advances, then drains on idle
+    with pytest.raises(StopIteration):
+        next(g2)
+
+    # two more batches land while the consumer is away; one span covers both
+    eng.replay(wal)
+    s3 = eng.vault.current_snapshot_id()
+    assert s3 > s1
+    g3 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    b2 = next(g3)
+    assert (b2.from_snapshot_id, b2.to_snapshot_id) == (s1, s3)
+    apply(b2.feed)
+    with pytest.raises(StopIteration):
+        next(g3)
+
+    want = {
+        (r["repo"], r["path"]): (r["last_seq"], r["content_sha256"])
+        for r in eng.current_state().collect()
+    }
+    assert store == want and len(want) > 0
+
+
+def test_tail_cursor_predating_retention_raises(spark, tmp_path):
+    """A cursor pointing at an expired snapshot fails loudly with the
+    remediation (re-seed from a live snapshot), never silently re-reads a
+    wrong span."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_changelog(spark, 3000, seed=22), wal, chunk_size=1000)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False)
+    eng.replay(wal)
+    eng.expire(keep_last=1)
+
+    g = eng.tail(str(tmp_path / "cp"), poll_interval_s=0.01, max_idle_polls=1)
+    with pytest.raises(RuntimeError, match="predates this table's retention"):
+        next(g)
