@@ -341,3 +341,128 @@ def test_tail_cursor_predating_retention_raises(spark, tmp_path):
     g = eng.tail(str(tmp_path / "cp"), poll_interval_s=0.01, max_idle_polls=1)
     with pytest.raises(RuntimeError, match="predates this table's retention"):
         next(g)
+
+
+def test_tail_exactly_once_downstream_mirror(spark, tmp_path):
+    """The TailBatch.batch_id contract, end to end: a downstream LakeVault
+    mirror commits each span under the span's deterministic batch id, so the
+    at-least-once redelivery a crash-before-cursor-advance causes is
+    absorbed by commit idempotency — the mirror never double-applies and
+    converges to the source's live state."""
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import (
+        generate_changelog,
+        write_wal,
+    )
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    wal = str(tmp_path / "wal")
+    # schema evolution off: a mirror that follows renames needs column-id
+    # bookkeeping (test_scan_changes_across_schema_evolution covers the
+    # id-aligned diff); THIS test pins the at-least-once/idempotency contract
+    write_wal(
+        generate_changelog(spark, 3000, seed=23, with_schema_evolution=False),
+        wal,
+        chunk_size=1500,
+    )
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False)
+    cp = str(tmp_path / "cp")
+    mirror_root = str(tmp_path / "mirror")
+    mirror = None
+
+    def apply_span(tb):
+        nonlocal mirror
+        feed = tb.feed.withColumn(
+            "is_deleted", F.col("_change_type") == "delete"
+        ).drop("_change_type")
+        if mirror is None:
+            cols = [(f.name, f.dataType.simpleString()) for f in feed.schema.fields]
+            mirror = LakeVault.create(
+                spark, mirror_root, cols, key_cols=("repo", "path"), n_buckets=4
+            )
+        keyed = feed.withColumn("__bucket", mirror.bucket_expr())
+        buckets = sorted(
+            r["__bucket"] for r in keyed.select("__bucket").distinct().collect()
+        )
+        carried = (
+            mirror.scan(buckets=buckets)
+            .where(~F.col("is_deleted"))
+            .join(feed.select("repo", "path"), on=["repo", "path"], how="left_anti")
+            .select(*feed.columns)
+        )
+        wd = mirror.new_write_dir(tb.batch_id)
+        (
+            carried.unionByName(feed)
+            .withColumn("__bucket", mirror.bucket_expr())
+            .repartition(1, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(wd)
+        )
+        return mirror.commit(
+            add_write_dir=wd,
+            replace_buckets=buckets,
+            batch_id=tb.batch_id,
+            manifest={"batch_id": tb.batch_id},
+        )
+
+    def live(vault_scan):
+        return {
+            (r["repo"], r["path"]): (r["last_seq"], r["content_sha256"])
+            for r in vault_scan.where(~F.col("is_deleted")).collect()
+        }
+
+    # span 1: process + commit downstream, then CRASH before cursor advance
+    eng.replay(wal, max_batches=1)
+    g1 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    sid_after_first = apply_span(next(g1))
+    g1.close()  # cursor still at 0
+
+    # restart: span 1 redelivered; the duplicate commit must no-op
+    g2 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    tb = next(g2)
+    assert tb.from_snapshot_id == 0  # proof of redelivery
+    assert apply_span(tb) == sid_after_first  # idempotent: snapshot unchanged
+    with pytest.raises(StopIteration):
+        next(g2)
+
+    # span 2 after more source batches; normal path
+    eng.replay(wal)
+    g3 = eng.tail(cp, poll_interval_s=0.01, max_idle_polls=2)
+    for tb in g3:
+        apply_span(tb)
+
+    assert live(mirror.scan()) == live(eng.vault.scan())
+    assert len(live(mirror.scan())) > 0
+
+
+def test_scan_changes_reads_only_affected_bucket_files(spark, tmp_path):
+    """The O(buckets touched) claim, physically: the diff plan's input file
+    set is confined to buckets whose live file set changed — untouched
+    buckets' files never reach Spark."""
+    root = str(tmp_path / "t4")
+    v = LakeVault.create(spark, root, COLS, key_cols=("repo", "path"), n_buckets=8)
+    base = [(f"r{i}", f"f{i}.py", i, False) for i in range(40)]
+    a = _commit(spark, v, base, "b0")
+
+    # touch exactly one key -> one bucket rewritten
+    target = ("r7", "f7.py", 99, False)
+    bkt = spark.createDataFrame([target], DDL).select(
+        v.bucket_expr().alias("b")
+    ).first()["b"]
+    rewrite = [target] + [
+        r
+        for r in base
+        if r[:2] != ("r7", "f7.py")
+        and spark.createDataFrame([r], DDL).select(v.bucket_expr().alias("b")).first()["b"]
+        == bkt
+    ]
+    b = _commit(spark, v, rewrite, "b1", replace_buckets=[bkt])
+
+    ch = v.scan_changes(a, b)
+    read = set(ch.inputFiles())
+    all_files = set(v.scan(b).inputFiles()) | set(v.scan(a).inputFiles())
+    assert read and read < all_files  # strictly pruned
+    assert all(f"__bucket={bkt}/" in p or f"__bucket={bkt}%" in p for p in read), read
+    got = {(r["repo"], r["path"]): r["_change_type"] for r in ch.collect()}
+    assert got == {("r7", "f7.py"): "update"}
