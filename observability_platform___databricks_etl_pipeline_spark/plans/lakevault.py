@@ -14,20 +14,28 @@ dangerous ``RETAIN 0 HOURS``).
 Layout::
 
     root/
-      _vault/version.json              atomic pointer {"snapshot_id": N}
-      _vault/snapshots/snap-<N>.json   immutable snapshot metadata
+      _vault/version.json              roll-forward hint {"snapshot_id": N}
+      _vault/snapshots/snap-<N>.json   immutable snapshot metadata; its
+                                       atomic CLAIM is the commit point
                                        (refs only — O(manifests), not O(files))
-      _vault/filelists/fl-<N>-b<B>.json file-entry manifests, one per
-                                       (commit, bucket) — the Iceberg
-                                       manifest-list idea
-      _vault/batchlog/seg-<K>.json     append-only exactly-once batch ids;
-                                       snapshots record (path, prefix len)
+      _vault/filelists/fl-<N>-<nonce>-b<B>.json  file-entry manifests, one
+                                       per (commit attempt, bucket) — the
+                                       Iceberg manifest-list idea
+      _vault/batchlog/seg-<K>-<N>-<nonce>.json  immutable exactly-once
+                                       batch-id segments; snapshots record
+                                       (path, prefix len)
       _vault/manifests/<batch_id>.json idempotent commit manifests (lineage)
       data/<file>.parquet              data files (bucketed by key hash)
 
-Atomicity: every metadata write is write-temp-then-``os.replace`` — atomic on
-POSIX local/NFS filesystems. (On S3-style object stores this pointer swap
-would go through a catalog/CAS service; documented limitation, same protocol.)
+Atomicity & concurrency: plain metadata writes are
+write-temp-then-``os.replace``; the commit point is a compare-and-swap —
+``os.link`` of a fully-written temp onto the immutable ``snap-<N>.json``
+path fails if another writer claimed N first (Iceberg's optimistic
+protocol; Iceberg delegates the CAS to its catalog, here the POSIX
+filesystem provides it — on an S3-style object store it would go through a
+catalog service, same protocol). CAS losers rebase automatically when their
+write provably doesn't depend on the interleaved commits (disjoint-bucket
+replaces, pure adds, delta appends) and raise ``CommitConflict`` otherwise.
 
 Scale notes (100 TB): manifests list data files with per-file row counts and
 key min/max, so a merge prunes to affected buckets without listing the
@@ -46,6 +54,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -294,6 +303,39 @@ def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+def _atomic_claim_json(path: str, obj: dict[str, Any]) -> bool:
+    """Publish ``obj`` at ``path`` IF AND ONLY IF the path does not exist
+    yet — the compare-and-swap primitive of the optimistic commit protocol
+    (Iceberg delegates this CAS to its catalog; on a POSIX filesystem
+    ``os.link`` of a fully-written temp file gives the same fail-on-exists
+    atomicity). Returns False when another writer already claimed the path.
+
+    The temp lives in the parent dir under a dotted name so directory
+    listings that parse snapshot/segment file names never see it."""
+    tmp = os.path.join(
+        os.path.dirname(path), f".claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit made this one un-rebaseable: the caller must
+    recompute its write against the new table head and retry. Raised only
+    when the conflict is REAL (overlapping buckets, schema/bucket-count
+    change, or a full-table rewrite) — disjoint-bucket and delta-append
+    commits rebase automatically inside ``LakeVault.commit``."""
+
+
 class LakeVault:
     """One copy-on-write table. Key columns define the merge identity."""
 
@@ -372,8 +414,20 @@ class LakeVault:
         return nb if nb is not None else self.table_meta["n_buckets"]
 
     def current_snapshot_id(self) -> int:
+        """Head = highest contiguous snapshot above the version pointer.
+
+        Under the optimistic commit protocol the snapshot file CLAIM (an
+        atomic link, see ``_atomic_claim_json``) is the commit point;
+        ``version.json`` is a monotone hint refreshed right after. A writer
+        that crashed between the two leaves a complete, durable snapshot the
+        pointer does not mention yet — every reader/writer rolls forward
+        over it (the loop is O(crashed writers), i.e. almost always zero
+        iterations). Only commit() advances the pointer file itself."""
         with open(os.path.join(self.vault_dir, "version.json")) as f:
-            return json.load(f)["snapshot_id"]
+            sid = json.load(f)["snapshot_id"]
+        while os.path.exists(self._snap_path(sid + 1)):
+            sid += 1
+        return sid
 
     def snapshot(self, sid: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if sid is None else sid
@@ -382,7 +436,16 @@ class LakeVault:
 
     def snapshot_ids(self) -> list[int]:
         d = os.path.join(self.vault_dir, "snapshots")
-        return sorted(int(f[5:-5]) for f in os.listdir(d) if f.startswith("snap-"))
+        out: list[int] = []
+        for f in os.listdir(d):
+            # tolerate stray temps (crashed pre-CAS writers): only complete
+            # snap-<N>.json names count
+            if f.startswith("snap-") and f.endswith(".json"):
+                try:
+                    out.append(int(f[5 : -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def committed_batches(self) -> set[str]:
         return set(self.snapshot().committed_batches)
@@ -542,16 +605,20 @@ class LakeVault:
             # COW materialization and compact() all converge on the same
             # winner. Within one commit a key appears at most once (each
             # delta file holds one merged winner per key), so the
-            # content_sha256 tail is a deterministic safety net only.
+            # content_sha256 tail is a deterministic safety net only —
+            # included when the table has the column, omitted otherwise
+            # (LakeVault is a general table format; MOR must not require
+            # an engine-specific column).
             # Pruning stays correct: base and delta rows of a key share the
             # same bucket and key-range span, so a pruned read is a pruned
             # superset merged the same way. COW tables (no delta entries)
             # never pay this aggregation.
             from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
 
-            out = lww_dedup(
-                out, list(self.key_cols), ["last_seq", "__ord", "content_sha256"]
-            ).drop("__ord")
+            tie = ["last_seq", "__ord"]
+            if "content_sha256" in out.columns:
+                tie.append("content_sha256")
+            out = lww_dedup(out, list(self.key_cols), tie).drop("__ord")
         return out
 
     def scan_changes(
@@ -837,21 +904,26 @@ class LakeVault:
     _BATCH_SEG_CAP = 4096
 
     def _append_batch_log(
-        self, parent: Snapshot, batch_id: str | None
+        self, parent: Snapshot, batch_id: str | None, tag: str
     ) -> list[dict[str, Any]]:
-        """Append one id to the batch log; rewrite only the TAIL segment
-        (≤ _BATCH_SEG_CAP ids). Crash-safe: the segment is written before
-        the snapshot publishes, and every snapshot records its own prefix
-        length per segment — an appended-but-unpublished id is invisible and
-        gets overwritten by the retry (ids are truncated to the parent's
-        prefix before appending)."""
+        """Append one id to the batch log by writing a NEW tail-segment file
+        (≤ _BATCH_SEG_CAP ids) named by the commit attempt's unique ``tag``
+        — segment files are IMMUTABLE once written. Immutability is what
+        makes the batch log safe under optimistic concurrency: an in-place
+        tail rewrite would let a losing writer clobber the winner's
+        just-published segment (same path, same prefix length, different
+        id — a silent exactly-once violation). Each snapshot records its
+        own (path, prefix len) pairs, so older snapshots keep reading the
+        exact segment bytes they were committed with; superseded tails are
+        garbage-collected by ``expire_snapshots`` once unreferenced."""
         if parent._batches_cache is not None and not parent.batch_log and parent._batches_cache:
             # legacy inline batches: migrate once into full segments
             segs: list[dict[str, Any]] = []
             ids = list(parent.committed_batches)
+            os.makedirs(os.path.join(self.vault_dir, "batchlog"), exist_ok=True)
             for k in range(0, len(ids), self._BATCH_SEG_CAP):
                 chunk = ids[k : k + self._BATCH_SEG_CAP]
-                rel = os.path.join("batchlog", f"seg-{len(segs)}.json")
+                rel = os.path.join("batchlog", f"seg-{len(segs)}-{tag}.json")
                 _atomic_write_json(os.path.join(self.vault_dir, rel), {"ids": chunk})
                 segs.append({"path": rel, "n": len(chunk)})
         else:
@@ -861,17 +933,94 @@ class LakeVault:
         os.makedirs(os.path.join(self.vault_dir, "batchlog"), exist_ok=True)
         if segs and segs[-1]["n"] < self._BATCH_SEG_CAP:
             tail = segs[-1]
-            p = os.path.join(self.vault_dir, tail["path"])
-            with open(p) as f:
+            with open(os.path.join(self.vault_dir, tail["path"])) as f:
                 ids = json.load(f)["ids"][: tail["n"]]
             ids.append(batch_id)
-            _atomic_write_json(p, {"ids": ids})
-            segs[-1] = {"path": tail["path"], "n": len(ids)}
+            rel = os.path.join("batchlog", f"seg-{len(segs) - 1}-{tag}.json")
+            _atomic_write_json(os.path.join(self.vault_dir, rel), {"ids": ids})
+            segs[-1] = {"path": rel, "n": len(ids)}
         else:
-            rel = os.path.join("batchlog", f"seg-{len(segs)}.json")
+            rel = os.path.join("batchlog", f"seg-{len(segs)}-{tag}.json")
             _atomic_write_json(os.path.join(self.vault_dir, rel), {"ids": [batch_id]})
             segs.append({"path": rel, "n": 1})
         return segs
+
+    def _changed_buckets(self, base: Snapshot, head: Snapshot) -> set[int] | None:
+        """Buckets whose manifest-ref set differs between two snapshots —
+        the write footprint of every commit in (base, head], computed from
+        ref metadata alone (same O(refs) diff ``scan_changes`` uses).
+        Returns None when bucket-less refs differ (extent unknown →
+        caller must treat every bucket as touched)."""
+
+        def by_bucket(s: Snapshot) -> tuple[dict[int, set[str]], set[str]]:
+            m: dict[int, set[str]] = {}
+            unbucketed: set[str] = set()
+            for r in s.manifest_refs:
+                if r["bucket"] is None:
+                    unbucketed.add(r["path"])
+                else:
+                    m.setdefault(r["bucket"], set()).add(r["path"])
+            return m, unbucketed
+
+        ma, ua = by_bucket(base)
+        mb, ub = by_bucket(head)
+        if ua != ub:
+            return None
+        return {
+            bk
+            for bk in set(ma) | set(mb)
+            if ma.get(bk, set()) != mb.get(bk, set())
+        }
+
+    def _check_rebase(
+        self,
+        base: Snapshot,
+        head: Snapshot,
+        *,
+        replace_buckets: list[int] | None,
+        replace_all: bool,
+        new_n_buckets: int | None,
+        delta: bool,
+    ) -> None:
+        """Decide whether a commit built against ``base`` may replay on top
+        of ``head`` (concurrent commits landed in between). Raises
+        CommitConflict when the write's CONTENT could be stale; otherwise
+        the commit is order-independent and rebases by re-pointing refs:
+
+        - delta appends: always safe — their rows are new source events
+          whose LWW outcome depends only on (last_seq, commit ordinal), and
+          the rebase re-stamps the ordinal above every intervening commit;
+        - pure adds / COW replaces of buckets NO intervening commit
+          touched: the replaced content is byte-identical either way;
+        - anything whose inputs the interleaved commits may have changed
+          (overlapping buckets, schema evolution, re-bucketing, full-table
+          rewrites): conflict — recompute against the new head."""
+        if replace_all or new_n_buckets is not None:
+            raise CommitConflict(
+                "full-table rewrite/re-bucketing cannot rebase onto "
+                f"concurrent commits (base {base.snapshot_id} → head "
+                f"{head.snapshot_id}); recompute against the new head"
+            )
+        if head.schema.schema_id != base.schema.schema_id:
+            raise CommitConflict(
+                "concurrent schema change "
+                f"(schema {base.schema.schema_id} → {head.schema.schema_id})"
+            )
+        if head.n_buckets != base.n_buckets:
+            raise CommitConflict("concurrent re-bucketing")
+        if delta or not replace_buckets:
+            return
+        changed = self._changed_buckets(base, head)
+        if changed is None:
+            raise CommitConflict(
+                "concurrent bucket-less writes — cannot prove disjointness"
+            )
+        overlap = set(replace_buckets) & changed
+        if overlap:
+            raise CommitConflict(
+                f"concurrent writes to buckets {sorted(overlap)[:8]} — "
+                "recompute the merge against the new head and retry"
+            )
 
     def commit(
         self,
@@ -885,75 +1034,124 @@ class LakeVault:
         replace_all: bool = False,
         new_n_buckets: int | None = None,
         delta: bool = False,
+        max_conflict_retries: int = 10,
     ) -> int:
         """Produce snapshot N+1 = (parent manifests minus replaced buckets)
         + one new manifest per bucket written under ``add_write_dir``;
-        atomically swap the version pointer. Commit cost is O(affected
-        buckets + live manifest refs), independent of table file count and
-        batch history length — the snapshot JSON never re-serializes the
-        full file list or batch history (measured flat in BENCH/BASELINE.md).
+        publish it with an OPTIMISTIC-CONCURRENCY compare-and-swap. Commit
+        cost is O(affected buckets + live manifest refs), independent of
+        table file count and batch history length — the snapshot JSON never
+        re-serializes the full file list or batch history (measured flat in
+        BENCH/BASELINE.md).
 
-        Idempotent per ``batch_id``: if the batch is already in the parent's
+        Concurrency (Iceberg's optimistic protocol; CAS = atomic link of
+        the immutable snapshot file, ``version.json`` demoted to a
+        roll-forward hint, see ``current_snapshot_id``): every attempt's
+        metadata files carry a unique nonce so two claimants of the same
+        snapshot id never collide on disk; the CAS loser re-reads the head,
+        REBASES when its content provably does not depend on the
+        interleaved commits (disjoint-bucket COW replaces, pure adds, delta
+        appends — the ordinal is re-stamped above the new head) and raises
+        ``CommitConflict`` otherwise so the caller can recompute.
+        Maintenance (``expire_snapshots`` / full-table ``compact``) remains
+        one-operator-at-a-time by contract.
+
+        Idempotent per ``batch_id``: if the batch is already in the head's
         batch log the commit is a no-op (returns current id)."""
-        parent = self.snapshot()
-        if batch_id is not None and batch_id in parent.committed_batches:
-            return parent.snapshot_id
+        base: Snapshot | None = None
+        entries_cache: list[dict[str, Any]] | None = None
+        for _attempt in range(max_conflict_retries + 1):
+            parent = self.snapshot()
+            if batch_id is not None and batch_id in parent.committed_batches:
+                return parent.snapshot_id
+            if base is None:
+                base = parent
+            elif parent.snapshot_id != base.snapshot_id:
+                self._check_rebase(
+                    base,
+                    parent,
+                    replace_buckets=replace_buckets,
+                    replace_all=replace_all,
+                    new_n_buckets=new_n_buckets,
+                    delta=delta,
+                )
 
-        schema = new_schema or parent.schema
-        schemas = dict(parent.schemas)
-        if schema.schema_id not in schemas:
-            schemas[schema.schema_id] = schema
+            schema = new_schema or parent.schema
+            schemas = dict(parent.schemas)
+            if schema.schema_id not in schemas:
+                schemas[schema.schema_id] = schema
 
-        new_id = parent.snapshot_id + 1
-        os.makedirs(os.path.join(self.vault_dir, "filelists"), exist_ok=True)
-        kept_refs = self._kept_refs(parent, replace_buckets, replace_all, str(new_id))
+            new_id = parent.snapshot_id + 1
+            nonce = uuid.uuid4().hex[:8]
+            tag = f"{new_id}-{nonce}"
+            os.makedirs(os.path.join(self.vault_dir, "filelists"), exist_ok=True)
+            kept_refs = self._kept_refs(parent, replace_buckets, replace_all, tag)
 
-        new_refs: list[dict[str, Any]] = []
-        new_entries: list[dict[str, Any]] = []
-        if add_write_dir is not None:
-            new_entries = self._register_written_files(
-                add_write_dir, schema.schema_id, delta=delta
+            new_refs: list[dict[str, Any]] = []
+            if add_write_dir is not None:
+                if entries_cache is None:
+                    # footer stats harvested ONCE; only the ordinal differs
+                    # between attempts
+                    entries_cache = self._register_written_files(
+                        add_write_dir, schema.schema_id, delta=delta
+                    )
+                for e in entries_cache:
+                    # commit ordinal: the snapshot that added the file — the
+                    # canonical LWW tiebreak on merge-on-read scans (later
+                    # commit wins at equal last_seq, matching the write side)
+                    e["ord"] = new_id
+                new_refs = self._write_manifests(entries_cache, tag)
+            new_entries = entries_cache if entries_cache is not None else []
+
+            batch_log = self._append_batch_log(parent, batch_id, tag)
+            refs = kept_refs + new_refs
+            parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]
+            snap = Snapshot(
+                snapshot_id=new_id,
+                parent_id=parent.snapshot_id,
+                schema=schema,
+                schemas=schemas,
+                manifest_refs=refs,
+                batch_log=batch_log,
+                n_buckets=new_n_buckets if new_n_buckets is not None else parent_nb,
+                summary={
+                    **(summary or {}),
+                    "added_files": len(new_entries),
+                    "added_bytes": sum(f.get("bytes", 0) for f in new_entries),
+                    # totals from ref metadata only — never loads file entries
+                    "total_files": sum(r["n_files"] for r in refs),
+                    "total_rows": sum(r["rows"] for r in refs),
+                },
+                vault_dir=self.vault_dir,
             )
-            for e in new_entries:
-                # commit ordinal: the snapshot that added the file — the
-                # canonical LWW tiebreak on merge-on-read scans (later
-                # commit wins at equal last_seq, matching the write side)
-                e["ord"] = new_id
-            new_refs = self._write_manifests(new_entries, str(new_id))
-
-        batch_log = self._append_batch_log(parent, batch_id)
-        refs = kept_refs + new_refs
-        parent_nb = parent.n_buckets if parent.n_buckets is not None else self.table_meta["n_buckets"]
-        snap = Snapshot(
-            snapshot_id=new_id,
-            parent_id=parent.snapshot_id,
-            schema=schema,
-            schemas=schemas,
-            manifest_refs=refs,
-            batch_log=batch_log,
-            n_buckets=new_n_buckets if new_n_buckets is not None else parent_nb,
-            summary={
-                **(summary or {}),
-                "added_files": len(new_entries),
-                "added_bytes": sum(f.get("bytes", 0) for f in new_entries),
-                # totals from ref metadata only — never loads file entries
-                "total_files": sum(r["n_files"] for r in refs),
-                "total_rows": sum(r["rows"] for r in refs),
-            },
-            vault_dir=self.vault_dir,
+            if batch_id is not None and manifest is not None:
+                _atomic_write_json(
+                    os.path.join(self.vault_dir, "manifests", f"{batch_id}.json"),
+                    {**manifest, "snapshot_id": new_id},
+                )
+            # the ONLY visibility point: the atomic CLAIM of the snapshot
+            # file is the commit — crash anywhere above leaves orphans only;
+            # crash after it leaves a complete snapshot readers roll forward
+            # to (version.json is just the hint that skips the roll-forward
+            # walk).
+            if _atomic_claim_json(self._snap_path(new_id), snap.to_json()):
+                _atomic_write_json(
+                    os.path.join(self.vault_dir, "version.json"),
+                    {"snapshot_id": new_id},
+                )
+                return new_id
+            # lost the race: drop this attempt's nonce'd metadata (best
+            # effort — a crash here just leaves files expire() sweeps) and
+            # rebase against the new head
+            for r in refs + batch_log:
+                if nonce in r["path"]:
+                    try:
+                        os.unlink(os.path.join(self.vault_dir, r["path"]))
+                    except OSError:
+                        pass
+        raise CommitConflict(
+            f"lost the snapshot CAS {max_conflict_retries + 1} times in a row"
         )
-        if batch_id is not None and manifest is not None:
-            _atomic_write_json(
-                os.path.join(self.vault_dir, "manifests", f"{batch_id}.json"),
-                {**manifest, "snapshot_id": new_id},
-            )
-        _atomic_write_json(self._snap_path(new_id), snap.to_json())
-        # the ONLY visibility point: readers before this line see snapshot N,
-        # after it snapshot N+1 — crash anywhere above leaves orphans only.
-        _atomic_write_json(
-            os.path.join(self.vault_dir, "version.json"), {"snapshot_id": new_id}
-        )
-        return new_id
 
     def new_write_dir(self, tag: str) -> str:
         """Unique staging dir for a snapshot attempt's data files."""
@@ -970,15 +1168,26 @@ class LakeVault:
         target_file_rows: int = 2_000_000,
         n_buckets: int | None = None,
         buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
-        """Bin-pack + KEY-CLUSTER data files into a new snapshot.
+        """Bin-pack + CLUSTER data files into a new snapshot.
 
-        Rows are range-partitioned on the key columns (so each task holds a
-        contiguous key span) and still written ``partitionBy(__bucket)`` —
-        every bucket therefore gets several files with TIGHT, mostly-disjoint
-        [min_key, max_key] spans, which is what makes ``scan(key_range=...)``
-        prune effectively. Reference analog: ``OPTIMIZE`` + ``ZORDER``
+        Rows are range-partitioned on the cluster columns (the key columns
+        by default — so each task holds a contiguous span) and still
+        written ``partitionBy(__bucket)`` — every bucket therefore gets
+        several files with TIGHT, mostly-disjoint min/max spans on those
+        columns, which is what makes ``scan(key_range=...)`` prune
+        effectively. Reference analog: ``OPTIMIZE`` + ``ZORDER``
         (``01:255-262``) as a maintenance job, not on the hot path.
+
+        ``cluster_by`` re-clusters on ARBITRARY columns instead (e.g. an
+        event-time column): the per-column manifest stats then make
+        ``scan(column_ranges={col: (lo, hi)})`` skip whole files WITHIN a
+        bucket — without clustering those stats still guarantee
+        correctness but every file's span tends to straddle the predicate,
+        so nothing prunes. Clustering is what turns the r5 data-skipping
+        metadata into actual scan savings, exactly the Iceberg
+        sort-order/Delta ZORDER play.
 
         ``buckets`` makes the compaction INCREMENTAL: only those buckets'
         files are read (their MOR deltas folded via the scan merge), rewritten
@@ -999,6 +1208,12 @@ class LakeVault:
         snap = self.snapshot()
         if not snap.files:
             return snap.snapshot_id
+        cluster_cols = list(cluster_by) if cluster_by else list(self.key_cols)
+        unknown = sorted(set(cluster_cols) - set(snap.schema.names()))
+        if unknown:
+            raise ValueError(
+                f"cluster_by refers to columns not in the current schema: {unknown}"
+            )
         if buckets is not None:
             if n_buckets is not None and n_buckets != self.n_buckets:
                 raise ValueError(
@@ -1014,8 +1229,8 @@ class LakeVault:
             wd = self.new_write_dir("compact")
             (
                 df.withColumn("__bucket", self.bucket_expr())
-                .repartitionByRange(n_out, *self.key_cols)
-                .sortWithinPartitions(*self.key_cols)
+                .repartitionByRange(n_out, *cluster_cols)
+                .sortWithinPartitions(*cluster_cols)
                 .write.mode("overwrite")
                 .partitionBy("__bucket")
                 .parquet(wd)
@@ -1024,7 +1239,11 @@ class LakeVault:
                 add_write_dir=wd,
                 replace_buckets=bset,
                 batch_id=None,
-                summary={"operation": "compact", "buckets": bset},
+                summary={
+                    "operation": "compact",
+                    "buckets": bset,
+                    "cluster_by": cluster_cols,
+                },
             )
         nb = n_buckets if n_buckets is not None else self.n_buckets
         bucket = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(nb))
@@ -1033,8 +1252,8 @@ class LakeVault:
         wd = self.new_write_dir("compact")
         (
             df.withColumn("__bucket", bucket)
-            .repartitionByRange(n_out, *self.key_cols)
-            .sortWithinPartitions(*self.key_cols)
+            .repartitionByRange(n_out, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(wd)
@@ -1044,7 +1263,7 @@ class LakeVault:
             replace_buckets=None,
             batch_id=None,
             replace_all=True,
-            summary={"operation": "compact"},
+            summary={"operation": "compact", "cluster_by": cluster_cols},
             new_n_buckets=nb,
         )
 
@@ -1055,15 +1274,18 @@ class LakeVault:
         last ``keep_last`` snapshots (VACUUM analog — never retain-0: the
         current snapshot and its files are always kept).
 
-        CONCURRENCY CONTRACT: LakeVault is a single-writer format (every
-        commit path assumes it stages for ``current_snapshot_id() + 1``);
-        expire() shares that assumption. The orphan sweep's attempt-id test
-        alone is only airtight under strict serialization — a writer that
-        computed its attempt id before an interleaving commit published
-        would look dead — so staging dirs touched within
-        ``orphan_grace_sec`` are additionally skipped (belt and braces; a
-        genuinely dead dir is swept by the NEXT expire once the grace
-        elapses). Pass 0 only when no writer can possibly be in flight.
+        CONCURRENCY CONTRACT: commits are optimistically concurrent (CAS +
+        rebase, see ``commit``), but MAINTENANCE is one-operator-at-a-time:
+        expire() must not run concurrently with another expire(), and any
+        in-flight writer's BASE snapshot must be within the retained window
+        (a writer rebasing across expired metadata would load deleted
+        manifests). The orphan sweep's attempt-id test alone is not
+        airtight even then — a writer that computed its attempt id before
+        an interleaving commit published would look dead — so staging dirs
+        touched within ``orphan_grace_sec`` are additionally skipped (belt
+        and braces; a genuinely dead dir is swept by the NEXT expire once
+        the grace elapses). Pass 0 only when no writer can possibly be in
+        flight.
 
         TWO-PASS by necessity: expired snapshots routinely SHARE carried
         manifests with each other (a delta commit carries its parent's refs;
@@ -1077,9 +1299,11 @@ class LakeVault:
         # pass 1: enumerate everything while all manifests still exist
         live_files: set[str] = set()
         live_manifests: set[str] = set()
+        live_segs: set[str] = set()
         for sid in keep:
             snap = self.snapshot(sid)
             live_manifests.update(r["path"] for r in snap.manifest_refs)
+            live_segs.update(s["path"] for s in snap.batch_log)
             live_files.update(f["path"] for f in snap.files)
         dead_files: set[str] = set()
         dead_manifests: set[str] = set()
@@ -1113,12 +1337,49 @@ class LakeVault:
         for sid in expired_ids:
             if os.path.exists(self._snap_path(sid)):
                 os.remove(self._snap_path(sid))
+        cur = self.current_snapshot_id()
+        # metadata GC: batch-log segments and filelists NO retained snapshot
+        # references — superseded tails of the immutable batch log, plus
+        # leftovers of CAS-losing commit attempts that crashed before their
+        # own cleanup. Same safety rails as the staging-dir sweep below: a
+        # file whose encoded attempt id is above the current head may belong
+        # to an in-flight claimant (never touched), and anything younger
+        # than the grace window is skipped until it has verifiably gone
+        # quiet.
+        live_meta = live_manifests | live_segs
+        for sub in ("batchlog", "filelists"):
+            d = os.path.join(self.vault_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                rel = os.path.join(sub, fn)
+                if rel in live_meta or not fn.endswith(".json"):
+                    continue
+                parts = fn[: -len(".json")].split("-")
+                try:
+                    if fn.startswith("seg-"):
+                        # seg-<idx>-<snapshot_id>-<nonce>; legacy seg-<idx>
+                        # has no attempt id (grace window alone applies)
+                        attempt = int(parts[2]) if len(parts) >= 3 else None
+                    else:
+                        # fl-<snapshot_id>-... (nonce'd and legacy alike)
+                        attempt = int(parts[1])
+                except (IndexError, ValueError):
+                    attempt = None
+                if attempt is not None and attempt > cur:
+                    continue
+                full = os.path.join(d, fn)
+                try:
+                    if (time.time() - os.path.getmtime(full)) < orphan_grace_sec:
+                        continue
+                    os.remove(full)
+                except OSError:
+                    continue
         # orphan GC: a crash between the data-phase write and commit() leaves
         # a parquet-bearing staging dir referenced by NO snapshot, forever.
         # Sweep dirs whose commit attempt is dead (encoded attempt id ≤ the
         # current snapshot id — an in-flight writer stages for current+1, so
         # it is never touched) and whose files no retained snapshot lists.
-        cur = self.current_snapshot_id()
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
             if not os.path.isdir(full):

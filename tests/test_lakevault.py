@@ -565,3 +565,44 @@ def test_column_skipping_noop_under_mor_deltas(spark, tmp_path):
     after = v.scan(column_ranges={"score": (1000, None)})
     assert after.where("score >= 1000").count() == 0
     assert len(after.inputFiles()) == 0  # deltas folded: skipping active again
+
+
+def test_compact_cluster_by_makes_column_skipping_prune(spark, tmp_path):
+    """Without clustering, every file straddles the score predicate and
+    column-range skipping prunes nothing; compact(cluster_by=["score"])
+    range-sorts the rows so per-file score spans are tight and scan()
+    drops whole files within buckets (Iceberg sort-order / ZORDER play)."""
+    v = _mk_scored(spark, tmp_path)
+    # interleaved scores: every bucket's single file spans ~0..199
+    df = spark.range(200).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "(id * 37) % 200 score",
+        "cast(md5(cast(id as string)) as string) content_sha256",
+        "id last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, df, "a", replace_buckets=None)
+
+    expected = sorted(
+        (r["repo"], r["path"], r["score"])
+        for r in v.scan().where("score >= 150").collect()
+    )
+    # pre-compact: the range predicate intersects every file's span
+    before = v.scan(column_ranges={"score": (150, None)})
+    assert len(before.inputFiles()) == len(v.scan().inputFiles())
+
+    sid = v.compact(target_file_rows=50, cluster_by=["score"])
+    assert v.snapshot(sid).summary["cluster_by"] == ["score"]
+
+    after = v.scan(column_ranges={"score": (150, None)})
+    got = sorted(
+        (r["repo"], r["path"], r["score"])
+        for r in after.where("score >= 150").collect()
+    )
+    assert got == expected  # clustering rewrote layout, not content
+    n_all = len(v.scan().inputFiles())
+    n_hit = len(after.inputFiles())
+    assert 0 < n_hit < n_all, (n_hit, n_all)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cluster_by"):
+        v.compact(cluster_by=["nope"])
