@@ -295,7 +295,11 @@ def _parquet_footer_stats(full: str, key0: str) -> tuple[int, int, Any, Any, dic
 
 
 def _atomic_write_json(path: str, obj: dict[str, Any]) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # pid alone is not unique under concurrent commits: two threads of one
+    # process racing on the SAME target (e.g. the version.json hint) would
+    # share a temp path, truncate each other mid-write, and publish partial
+    # JSON — the nonce keeps every in-flight write on its own inode
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
         f.flush()
@@ -321,11 +325,15 @@ def _atomic_claim_json(path: str, obj: dict[str, Any]) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, path)
-        return True
+        won = True
     except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+        # NFS caveat: a lost LINK reply is retransmitted and the retry sees
+        # EEXIST even though OUR link landed — the classic hard-link-CAS
+        # pitfall. The ground truth is the temp's link count: 2 means
+        # ``path`` is our inode and we actually won.
+        won = os.stat(tmp).st_nlink == 2
+    os.unlink(tmp)
+    return won
 
 
 class CommitConflict(RuntimeError):
@@ -428,6 +436,22 @@ class LakeVault:
         while os.path.exists(self._snap_path(sid + 1)):
             sid += 1
         return sid
+
+    def _refresh_version_hint(self, sid: int) -> None:
+        """Advance the roll-forward hint to ``sid`` — MONOTONE: a writer that
+        stalled between its CAS and this refresh must not regress the hint
+        past commits (or, worse, past an ``expire_snapshots`` that already
+        deleted the snapshot the stale hint names — roll-forward cannot walk
+        a hole, so a regressed hint would brick every read)."""
+        try:
+            with open(os.path.join(self.vault_dir, "version.json")) as f:
+                if json.load(f)["snapshot_id"] >= sid:
+                    return
+        except (OSError, ValueError, KeyError):
+            pass
+        _atomic_write_json(
+            os.path.join(self.vault_dir, "version.json"), {"snapshot_id": sid}
+        )
 
     def snapshot(self, sid: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if sid is None else sid
@@ -1067,14 +1091,18 @@ class LakeVault:
             if base is None:
                 base = parent
             elif parent.snapshot_id != base.snapshot_id:
-                self._check_rebase(
-                    base,
-                    parent,
-                    replace_buckets=replace_buckets,
-                    replace_all=replace_all,
-                    new_n_buckets=new_n_buckets,
-                    delta=delta,
-                )
+                try:
+                    self._check_rebase(
+                        base,
+                        parent,
+                        replace_buckets=replace_buckets,
+                        replace_all=replace_all,
+                        new_n_buckets=new_n_buckets,
+                        delta=delta,
+                    )
+                except CommitConflict:
+                    self._drop_uncommitted_manifest(batch_id, manifest)
+                    raise
 
             schema = new_schema or parent.schema
             schemas = dict(parent.schemas)
@@ -1135,10 +1163,7 @@ class LakeVault:
             # to (version.json is just the hint that skips the roll-forward
             # walk).
             if _atomic_claim_json(self._snap_path(new_id), snap.to_json()):
-                _atomic_write_json(
-                    os.path.join(self.vault_dir, "version.json"),
-                    {"snapshot_id": new_id},
-                )
+                self._refresh_version_hint(new_id)
                 return new_id
             # lost the race: drop this attempt's nonce'd metadata (best
             # effort — a crash here just leaves files expire() sweeps) and
@@ -1149,9 +1174,26 @@ class LakeVault:
                         os.unlink(os.path.join(self.vault_dir, r["path"]))
                     except OSError:
                         pass
+        self._drop_uncommitted_manifest(batch_id, manifest)
         raise CommitConflict(
             f"lost the snapshot CAS {max_conflict_retries + 1} times in a row"
         )
+
+    def _drop_uncommitted_manifest(self, batch_id: str | None, manifest) -> None:
+        """A conflicting commit attempt wrote its lineage manifest pre-CAS
+        (so a crash can never leave a COMMITTED batch without lineage); if
+        the batch never landed, drop that manifest on the way out — left
+        behind it would claim the batch landed in another writer's snapshot.
+        Batch ids have a single writer by contract (the engine's retry of a
+        WAL chunk), so nobody else's manifest can live at this path."""
+        if batch_id is None or manifest is None:
+            return
+        if batch_id in self.snapshot().committed_batches:
+            return
+        try:
+            os.unlink(os.path.join(self.vault_dir, "manifests", f"{batch_id}.json"))
+        except OSError:
+            pass
 
     def new_write_dir(self, tag: str) -> str:
         """Unique staging dir for a snapshot attempt's data files."""
@@ -1206,14 +1248,17 @@ class LakeVault:
         data; bucket-scoped reads of PRE-rebucket snapshots are no longer
         meaningful (full scans of them still are)."""
         snap = self.snapshot()
-        if not snap.files:
-            return snap.snapshot_id
         cluster_cols = list(cluster_by) if cluster_by else list(self.key_cols)
         unknown = sorted(set(cluster_cols) - set(snap.schema.names()))
         if unknown:
+            # validate BEFORE the empty-table early return: a typo'd
+            # maintenance job must fail on its first run, not once the
+            # table first has data
             raise ValueError(
                 f"cluster_by refers to columns not in the current schema: {unknown}"
             )
+        if not snap.files:
+            return snap.snapshot_id
         if buckets is not None:
             if n_buckets is not None and n_buckets != self.n_buckets:
                 raise ValueError(
@@ -1294,7 +1339,12 @@ class LakeVault:
         while walking breaks later ``.files`` loads mid-expiry and leaks the
         data files the broken snapshot referenced."""
         ids = self.snapshot_ids()
-        keep = set(ids[-keep_last:]) | {self.current_snapshot_id()}
+        head = self.current_snapshot_id()
+        # catch the hint up to the head BEFORE deleting anything: a stale
+        # hint (a writer crashed between its CAS and the hint refresh) below
+        # the retained window would leave roll-forward facing a hole
+        self._refresh_version_hint(head)
+        keep = set(ids[-keep_last:]) | {head}
         expired_ids = [sid for sid in ids if sid not in keep]
         # pass 1: enumerate everything while all manifests still exist
         live_files: set[str] = set()
@@ -1367,6 +1417,23 @@ class LakeVault:
                 except (IndexError, ValueError):
                     attempt = None
                 if attempt is not None and attempt > cur:
+                    continue
+                full = os.path.join(d, fn)
+                try:
+                    if (time.time() - os.path.getmtime(full)) < orphan_grace_sec:
+                        continue
+                    os.remove(full)
+                except OSError:
+                    continue
+        # crash temps: a writer SIGKILLed inside an atomic write/claim leaves
+        # its temp file behind (``.claim-*`` in snapshots/, ``*.tmp.*``
+        # anywhere) — referenced by nothing, swept once past the grace
+        for sub in ("", "snapshots", "batchlog", "filelists", "manifests"):
+            d = os.path.join(self.vault_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                if not (fn.startswith(".claim-") or ".tmp." in fn):
                     continue
                 full = os.path.join(d, fn)
                 try:

@@ -473,9 +473,22 @@ class CDCEngine:
                     shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
         mdir = os.path.join(self.vault.vault_dir, "manifests")
         if os.path.isdir(mdir):
+            committed = set(batches)
             for fn in os.listdir(mdir):
-                if fn.endswith(".json") and fn[:-5] not in keep:
-                    os.remove(os.path.join(mdir, fn))
+                if not fn.endswith(".json") or fn[:-5] in keep:
+                    continue
+                full = os.path.join(mdir, fn)
+                if fn[:-5] not in committed:
+                    # not a committed batch: either a concurrent writer's
+                    # pre-CAS lineage (it writes the manifest just before
+                    # its commit claim) or a dead attempt's leftover — only
+                    # the latter is safe to sweep, and age tells them apart
+                    try:
+                        if (time.time() - os.path.getmtime(full)) < 300.0:
+                            continue
+                    except OSError:
+                        continue
+                os.remove(full)
         # tombstone the swept batch ids: replay()'s skipped-batch rollup
         # BACKFILL would otherwise find the still-live write dirs and regrow
         # every side dir this retention pass just bounded

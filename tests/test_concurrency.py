@@ -11,6 +11,7 @@ appends) and raise ``CommitConflict`` when it is not.
 import json
 import os
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import pyspark.sql.functions as F
@@ -165,7 +166,12 @@ def test_concurrent_overlapping_cow_conflicts(spark, tmp_path):
     [row] = v.scan().collect()
     assert row["last_seq"] in (2, 3)
     winner = "batch-a" if errs[0] is None else "batch-b"
+    loser = "batch-b" if winner == "batch-a" else "batch-a"
     assert winner in v.committed_batches()
+    # the loser's pre-CAS lineage manifest must NOT survive the conflict —
+    # it would claim the batch landed in the winner's snapshot
+    assert v.manifest(winner) is not None
+    assert v.manifest(loser) is None
 
 
 def test_delta_append_rebases_over_cow_replace(spark, tmp_path):
@@ -279,3 +285,57 @@ def test_schema_change_vs_concurrent_write_conflicts(spark, tmp_path):
     conflicts = [e for e in errs if e is not None]
     assert len(conflicts) == 1 and isinstance(conflicts[0], CommitConflict)
     assert v.scan().count() == 1  # winner readable either way
+
+
+def test_stale_hint_survives_expiry(spark, tmp_path):
+    """A writer that crashed after its CAS leaves version.json stale;
+    expire_snapshots must catch the hint up to the head before deleting
+    snapshots, or roll-forward would face a hole and brick every read.
+    A late hint write from the stalled winner must also never regress it."""
+    v = _mk(spark, tmp_path, [("r1", "a.py", 1, False)])
+    for i in range(2, 7):
+        _stage_and_commit(
+            spark, v, [("r1", "a.py", i, False)], batch_id=f"b{i}"
+        )
+    head = v.current_snapshot_id()
+    # stale hint: pretend the first commit's winner never refreshed it
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import _atomic_write_json
+    _atomic_write_json(
+        os.path.join(v.vault_dir, "version.json"), {"snapshot_id": 1}
+    )
+    assert v.current_snapshot_id() == head  # roll-forward still walks
+
+    v.expire_snapshots(keep_last=2, orphan_grace_sec=0.0)
+    assert v.current_snapshot_id() == head  # hint caught up pre-delete
+    # pure adds: all 6 rows live, and the table is still fully readable
+    assert v.scan().count() == 6
+    assert v.scan().agg(F.max("last_seq")).collect()[0][0] == 6
+
+    # the stalled winner wakes and tries to re-publish its old hint: the
+    # monotone refresh must refuse the regression
+    v._refresh_version_hint(1)
+    with open(os.path.join(v.vault_dir, "version.json")) as f:
+        assert json.load(f)["snapshot_id"] == head
+    assert v.scan().count() == 6
+
+
+def test_expire_sweeps_crashed_claim_temps(spark, tmp_path):
+    """A writer SIGKILLed inside the claim leaves a .claim-* temp in
+    snapshots/ (and atomic-write temps elsewhere); expire sweeps them once
+    past the grace window, and never sweeps young ones."""
+    v = _mk(spark, tmp_path, [("r1", "a.py", 1, False)])
+    snaps = os.path.join(v.vault_dir, "snapshots")
+    old = os.path.join(snaps, ".claim-999-deadbeef")
+    young = os.path.join(snaps, ".claim-999-cafebabe")
+    tmp_old = os.path.join(v.vault_dir, "version.json.tmp.999.deadbeef")
+    for p in (old, young, tmp_old):
+        with open(p, "w") as f:
+            f.write("{}")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    os.utime(tmp_old, (past, past))
+
+    v.expire_snapshots(keep_last=10, orphan_grace_sec=300.0)
+    assert not os.path.exists(old)
+    assert not os.path.exists(tmp_old)
+    assert os.path.exists(young)  # inside the grace window: kept

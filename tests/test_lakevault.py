@@ -606,3 +606,9 @@ def test_compact_cluster_by_makes_column_skipping_prune(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cluster_by"):
         v.compact(cluster_by=["nope"])
+
+    # validation fires even on an EMPTY table (a typo'd maintenance job
+    # must fail on its first run, not once data arrives)
+    empty = _mk_scored(spark, tmp_path / "empty")
+    with _pytest.raises(ValueError, match="cluster_by"):
+        empty.compact(cluster_by=["nope"])
