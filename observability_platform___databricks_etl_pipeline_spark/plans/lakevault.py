@@ -1312,6 +1312,155 @@ class LakeVault:
             new_n_buckets=nb,
         )
 
+    def _affected_buckets(
+        self,
+        pred: F.Column,
+        column_ranges: dict[str, tuple[Any, Any]] | None,
+    ) -> list[int]:
+        """Buckets containing at least one row where ``pred`` IS TRUE — one
+        probe job over the (optionally stats-pruned) table projecting only
+        the bucket hash, so Parquet reads just the key + predicate columns."""
+        probe = self.scan(column_ranges=column_ranges).where(pred)
+        return sorted(
+            r["__b"]
+            for r in probe.select(self.bucket_expr().alias("__b")).distinct().collect()
+        )
+
+    def delete(
+        self,
+        where: str | F.Column,
+        column_ranges: dict[str, tuple[Any, Any]] | None = None,
+        target_file_rows: int = 2_000_000,
+    ) -> int:
+        """Predicate DELETE (row-level DML): remove every row where the
+        predicate is TRUE by COW-rewriting ONLY the buckets that contain
+        matches; all other buckets carry into the new snapshot by manifest
+        reference. SQL semantics: rows where the predicate evaluates to
+        NULL are KEPT.
+
+        Reference analog: the Bronze retention step *intends* an
+        age-predicate delete but ships only a VACUUM
+        (``01_ingest_raw_logs.py:285-304``); this is that maintenance
+        operation (retention sweeps, GDPR erasure) as a table primitive.
+        Per-KEY deletes on the hot path belong to the CDC replay (delete
+        ops → LWW tombstones), not here.
+
+        Scale shape (100 TB): the probe is one scan projecting only the
+        bucket hash (column-pruned to key + predicate columns, file-pruned
+        further by ``column_ranges`` manifest stats when the caller passes
+        the predicate's span); the rewrite reads only affected buckets and
+        their MOR deltas fold in the process. Rewritten buckets are
+        re-range-partitioned on the key columns so point-lookup pruning
+        stays tight. ``rows_deleted`` is exact when the affected buckets
+        carried no deltas (manifest row totals), else reported as an upper
+        bound (pre-fold delta rows double-count)."""
+        pred = F.expr(where) if isinstance(where, str) else where
+        snap = self.snapshot()
+        affected = self._affected_buckets(pred, column_ranges)
+        if not affected:
+            return snap.snapshot_id
+        bset = set(affected)
+        touched = [f for f in snap.files if f["bucket"] in bset]
+        before_rows = sum(f["rows"] for f in touched)
+        had_deltas = any(f.get("delta") for f in touched)
+        kept = self.scan(buckets=affected).where(~F.coalesce(pred, F.lit(False)))
+        n_out = max(1, int(before_rows // target_file_rows + 1))
+        wd = self.new_write_dir("delete")
+        (
+            kept.withColumn("__bucket", self.bucket_expr())
+            .repartitionByRange(n_out, *self.key_cols)
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(wd)
+        )
+        return self.commit(
+            add_write_dir=wd,
+            replace_buckets=affected,
+            batch_id=None,
+            summary={
+                "operation": "delete",
+                "predicate": str(where),
+                "buckets": affected,
+                # deleted count = rows_before − sum(refs.rows over these
+                # buckets) of the committed snapshot, metadata-only; exact
+                # unless the buckets carried deltas (pre-fold double count)
+                "rows_before": before_rows,
+                "rows_before_exact": not had_deltas,
+            },
+        )
+
+    def update(
+        self,
+        set_exprs: dict[str, str | F.Column],
+        where: str | F.Column,
+        column_ranges: dict[str, tuple[Any, Any]] | None = None,
+        target_file_rows: int = 2_000_000,
+    ) -> int:
+        """Predicate UPDATE (row-level DML): for every row where the
+        predicate is TRUE, replace each ``set_exprs`` column with its
+        expression — evaluated against the ORIGINAL row (standard SQL
+        UPDATE semantics, even when one assigned column references
+        another). Values are cast to the column's existing type, so the
+        table schema never drifts. Only buckets containing matches are
+        COW-rewritten; the rest carry by manifest reference (same probe +
+        rewrite shape as ``delete`` — see its scale notes)."""
+        pred = F.expr(where) if isinstance(where, str) else where
+        snap = self.snapshot()
+        unknown = sorted(set(set_exprs) - set(snap.schema.names()))
+        if unknown:
+            raise ValueError(
+                f"update targets columns not in the current schema: {unknown}"
+            )
+        if set(set_exprs) & set(self.key_cols):
+            raise ValueError(
+                "update cannot reassign key columns (that is a delete + "
+                f"insert of a different identity): {sorted(set(set_exprs) & set(self.key_cols))}"
+            )
+        affected = self._affected_buckets(pred, column_ranges)
+        if not affected:
+            return snap.snapshot_id
+        bset = set(affected)
+        touched = [f for f in snap.files if f["bucket"] in bset]
+        base = self.scan(buckets=affected)
+        # stage: match flag + new values computed while every ORIGINAL
+        # column is still in scope (a single final select would let an
+        # assigned name lateral-bind to its own replacement)
+        staged = base.withColumn("__m", F.coalesce(pred, F.lit(False)))
+        types = {f.name: f.dataType for f in base.schema.fields}
+        for c, e in set_exprs.items():
+            expr = F.expr(e) if isinstance(e, str) else e
+            staged = staged.withColumn(f"__new_{c}", expr.cast(types[c]))
+        out = staged.select(
+            *[
+                F.when(F.col("__m"), F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        n_out = max(1, int(sum(f["rows"] for f in touched) // target_file_rows + 1))
+        wd = self.new_write_dir("update")
+        (
+            out.withColumn("__bucket", self.bucket_expr())
+            .repartitionByRange(n_out, *self.key_cols)
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(wd)
+        )
+        return self.commit(
+            add_write_dir=wd,
+            replace_buckets=affected,
+            batch_id=None,
+            summary={
+                "operation": "update",
+                "predicate": str(where),
+                "set": sorted(set_exprs),
+                "buckets": affected,
+            },
+        )
+
     def expire_snapshots(
         self, keep_last: int = 3, orphan_grace_sec: float = 300.0
     ) -> list[int]:

@@ -1535,6 +1535,72 @@ def cdc_scan_changes(spark, sf_dir):
     )
 
 
+def _predicate_dml_oracle() -> str:
+    """Oracle for the row-level DML gate: the replayed live state with the
+    DELETE's predicate filtered out and the UPDATE's assignment applied —
+    order matters (delete first), and the update predicate reads the
+    original column per SQL UPDATE semantics."""
+    return f"""
+    WITH {_gen_wal_live_cte()}
+    SELECT repo, path, CAST(last_seq AS BIGINT) AS last_seq,
+           CASE WHEN lang = 'json' THEN 'text' ELSE lang END AS lang,
+           sha256(content_s) AS content_sha256
+    FROM live
+    WHERE lang <> 'yaml'
+    """
+
+
+@_register("cdc_predicate_dml", _predicate_dml_oracle())
+def cdc_predicate_dml(spark, sf_dir):
+    """Row-level predicate DML (r5): ``LakeVault.delete(where)`` +
+    ``update(set, where)`` — the retention/GDPR sweep the reference's
+    Bronze cleanup *intends* but ships only as VACUUM
+    (``01_ingest_raw_logs.py:285-304``), done as a table primitive that
+    COW-rewrites ONLY buckets containing matches (everything else carries
+    by manifest reference; plan shape pinned in ``test_lakevault``). The
+    replayed engine state is copied into a fresh vault, yaml rows are
+    deleted, json rows relabeled text, and the surviving rows hash-gated
+    against the DuckDB replay with the same filter + CASE applied."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    eng = _entry_engine(spark)
+    base = tempfile.mkdtemp(prefix="cdc-dml-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    v = LakeVault.create(
+        spark,
+        f"{base}/tbl",
+        [("repo", "string"), ("path", "string"), ("last_seq", "long"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=("repo", "path"),
+        n_buckets=8,
+    )
+    wd = v.new_write_dir("seed")
+    (
+        eng.current_state()
+        .select("repo", "path", "last_seq", "lang", "content")
+        .withColumn("__bucket", v.bucket_expr())
+        .repartition(4, "__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(wd)
+    )
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="seed",
+             manifest={"batch_id": "seed"})
+    v.delete("lang = 'yaml'")
+    v.update({"lang": "'text'"}, where="lang = 'json'")
+    return v.scan().select(
+        "repo",
+        "path",
+        F.col("last_seq").cast("long").alias("last_seq"),
+        "lang",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 @_register(
     "cdc_point_lookup",
     f"""
@@ -1836,34 +1902,6 @@ def pivot_event_matrix(spark, sf_dir):
     )
 
 
-@_register(
-    "events_props_parse",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
-    """,
-)
-def events_props_parse(spark, sf_dir):
-    """Semi-structured body parse: ``from_json(value, 'MAP<STRING,STRING>')``
-    — the reference's literal Event Hub body pattern
-    (00_ingest_from_log_hub.py:101,430) — then typed extraction + rollup.
-    The MAP parse stays JVM-side (JacksonParser inside codegen); no Python."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "kv", F.from_json("props", "MAP<STRING,STRING>")
-    )
-    k = F.element_at("kv", F.lit("k")).cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(k).alias("n_with_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
-    )
-
-
 def _stream_tmp(prefix: str):
     import tempfile
 
@@ -2126,8 +2164,37 @@ def doc_tfidf_top_terms(spark, sf_dir):
 # every session by tests/test_queries_vs_duckdb.py (the local mirror of the
 # driver gate runs ALL entries, not 50). Rotation policy: anything whose
 # operator code changes must move ABOVE the line; only multi-round-stable
-# entries may live below it.
+# entries may live below it. (r5: events_props_parse rotated down — hash-green
+# r3+r4, untouched since — to make room for cdc_predicate_dml above.)
 # ===========================================================================
+
+
+@_register(
+    "events_props_parse",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_parse(spark, sf_dir):
+    """Semi-structured body parse: ``from_json(value, 'MAP<STRING,STRING>')``
+    — the reference's literal Event Hub body pattern
+    (00_ingest_from_log_hub.py:101,430) — then typed extraction + rollup.
+    The MAP parse stays JVM-side (JacksonParser inside codegen); no Python."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv", F.from_json("props", "MAP<STRING,STRING>")
+    )
+    k = F.element_at("kv", F.lit("k")).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
 
 @_register(
     "cdc_out_of_order",

@@ -612,3 +612,123 @@ def test_compact_cluster_by_makes_column_skipping_prune(spark, tmp_path):
     empty = _mk_scored(spark, tmp_path / "empty")
     with _pytest.raises(ValueError, match="cluster_by"):
         empty.compact(cluster_by=["nope"])
+
+
+def test_delete_where_rewrites_only_affected_buckets(spark, tmp_path):
+    """Predicate DELETE: matching rows vanish, NULL-predicate rows are
+    KEPT (SQL semantics), and only buckets containing matches are
+    rewritten — untouched buckets carry by manifest reference."""
+    v = _mk_scored(spark, tmp_path, with_quality=True)
+    # quality NULL for r0 rows → predicate `quality < 0.2 AND score >= 150`
+    # is NULL there; scores interleave so matches cluster in some buckets
+    df = spark.range(200).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "id score",
+        "case when id % 4 = 0 then cast(null as double) "
+        "     else (id % 10) / 10.0 end quality",
+        "cast(md5(cast(id as string)) as string) content_sha256",
+        "id last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, df, "a", replace_buckets=None)
+    pre = {f["path"]: f for f in v.snapshot().files}
+
+    expected = sorted(
+        r["path"]
+        for r in v.scan().where(
+            "NOT coalesce(quality < 0.2 AND score >= 150, false)"
+        ).collect()
+    )
+    sid = v.delete("quality < 0.2 AND score >= 150")
+    snap = v.snapshot(sid)
+    assert snap.summary["operation"] == "delete"
+    affected = set(snap.summary["buckets"])
+    assert 0 < len(affected) < v.n_buckets or len(affected) >= 1
+
+    got = sorted(r["path"] for r in v.scan().collect())
+    assert got == expected  # matches gone, NULL-predicate rows kept
+
+    # untouched buckets: identical file entries carried by reference
+    post = {f["path"]: f for f in snap.files}
+    for p, f in pre.items():
+        if f["bucket"] not in affected:
+            assert p in post and post[p]["rows"] == f["rows"]
+    # derivable deleted count from the committed summary alone
+    after_rows = sum(
+        r["rows"] for r in snap.manifest_refs if r["bucket"] in affected
+    )
+    removed = snap.summary["rows_before"] - after_rows
+    assert removed == 200 - len(expected)
+    assert snap.summary["rows_before_exact"] is True
+
+    # no-op delete: nothing matches → same snapshot id, zero new commits
+    assert v.delete("score > 100000") == sid
+
+
+def test_update_where_original_row_semantics(spark, tmp_path):
+    """Predicate UPDATE evaluates set expressions against the ORIGINAL row
+    (even when assigned columns reference each other), casts to the
+    existing column type, and rewrites only affected buckets."""
+    v = _mk_scored(spark, tmp_path, with_quality=True)
+    df = spark.range(100).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "id score", "(id % 10) / 10.0 quality",
+        "cast(md5(cast(id as string)) as string) content_sha256",
+        "id last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, df, "a", replace_buckets=None)
+
+    # swap-style assignment: score := score + quality*10, quality := score/100
+    # — both must see ORIGINAL values (quality's expr uses original score)
+    sid = v.update(
+        {"score": "score + cast(quality * 10 as long)", "quality": "score / 100.0"},
+        where="score >= 50",
+    )
+    snap = v.snapshot(sid)
+    assert snap.summary["operation"] == "update"
+    rows = {r["path"]: r for r in v.scan().collect()}
+    for i in range(100):
+        r = rows[f"p{i}"]
+        if i >= 50:
+            assert r["score"] == i + (i % 10), i       # original quality*10
+            assert abs(r["quality"] - i / 100.0) < 1e-12, i  # original score
+        else:
+            assert r["score"] == i and abs(r["quality"] - (i % 10) / 10.0) < 1e-12
+    # schema unchanged (casts applied)
+    assert [c["name"] for c in snap.schema.columns] == [
+        c["name"] for c in v.snapshot(sid - 1).schema.columns
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key columns"):
+        v.update({"path": "'x'"}, where="score > 0")
+    with _pytest.raises(ValueError, match="not in the current schema"):
+        v.update({"nope": "1"}, where="score > 0")
+    # no matches → no-op
+    assert v.update({"score": "0"}, where="score > 100000") == sid
+
+
+def test_delete_folds_mor_deltas_in_affected_buckets(spark, tmp_path):
+    """DELETE over a table with live MOR deltas: the rewrite folds the
+    deltas of affected buckets (LWW winners judged, not stale base rows),
+    and the delete predicate applies to the FOLDED state."""
+    v = _mk_scored(spark, tmp_path)
+    base = spark.range(40).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path", "id score",
+        "cast(md5(cast(id as string)) as string) content_sha256",
+        "id last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, base, "a", replace_buckets=None)
+    # delta moves p0..p9 scores up to 1000+: they now match `score >= 1000`
+    delta = spark.range(10).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path",
+        "id + 1000 score",
+        "cast(md5(concat('d', cast(id as string))) as string) content_sha256",
+        "id + 100 last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, delta, "d", replace_buckets=None, delta=True)
+
+    v.delete("score >= 1000")
+    got = sorted(int(r["path"][1:]) for r in v.scan().collect())
+    assert got == list(range(10, 40))  # updated winners deleted, rest intact
+    # affected buckets' deltas folded away by the rewrite
+    assert not any(f.get("delta") for f in v.snapshot().files)
