@@ -1461,6 +1461,65 @@ class LakeVault:
             },
         )
 
+    def restore(self, snapshot_id: int) -> int:
+        """Roll the table back to a prior snapshot's CONTENT by committing a
+        NEW snapshot that carries that snapshot's manifest refs, schema and
+        bucket count (Delta's ``RESTORE TABLE ... TO VERSION`` — the
+        forward-rolling repair for a bad write). History is untouched: the
+        pointer never rewinds, time travel still sees the bad commits, and
+        ``expire_snapshots`` eventually GCs them (the restored refs are now
+        referenced by the head, so their manifests/files stay live). The
+        batch log is NOT restored — exactly-once ids are facts about which
+        batches were ever ingested, not table content; a replayed batch
+        stays a no-op after a restore.
+
+        Requires the target snapshot to still be within retention (its
+        manifests must exist). Restore is a full-table maintenance
+        operation: a commit that interleaves with it raises
+        ``CommitConflict`` here via the snapshot-claim CAS rather than
+        being silently clobbered."""
+        cur = self.snapshot()
+        if snapshot_id == cur.snapshot_id:
+            return cur.snapshot_id
+        old = self.snapshot(snapshot_id)  # FileNotFoundError if expired
+        # fail fast if the old refs were already GC'd (shouldn't happen for
+        # a listed snapshot, but a clear error beats a broken head)
+        for r in old.manifest_refs:
+            if not os.path.exists(os.path.join(self.vault_dir, r["path"])):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is no longer restorable: "
+                    f"manifest {r['path']} was expired"
+                )
+        schemas = dict(cur.schemas)
+        schemas.setdefault(old.schema.schema_id, old.schema)
+        refs = list(old.manifest_refs)
+        new_id = cur.snapshot_id + 1
+        snap = Snapshot(
+            snapshot_id=new_id,
+            parent_id=cur.snapshot_id,
+            schema=old.schema,
+            schemas=schemas,
+            manifest_refs=refs,
+            batch_log=list(cur.batch_log),
+            n_buckets=old.n_buckets,
+            summary={
+                "operation": "restore",
+                "restored_from": snapshot_id,
+                "added_files": 0,
+                "added_bytes": 0,
+                "total_files": sum(r["n_files"] for r in refs),
+                "total_rows": sum(r["rows"] for r in refs),
+            },
+            vault_dir=self.vault_dir,
+        )
+        if not _atomic_claim_json(self._snap_path(new_id), snap.to_json()):
+            raise CommitConflict(
+                "a concurrent commit interleaved with restore — re-check the "
+                "head and retry if rolling back is still intended"
+            )
+        self._refresh_version_hint(new_id)
+        return new_id
+
     def expire_snapshots(
         self, keep_last: int = 3, orphan_grace_sec: float = 300.0
     ) -> list[int]:

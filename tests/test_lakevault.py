@@ -732,3 +732,44 @@ def test_delete_folds_mor_deltas_in_affected_buckets(spark, tmp_path):
     assert got == list(range(10, 40))  # updated winners deleted, rest intact
     # affected buckets' deltas folded away by the rewrite
     assert not any(f.get("delta") for f in v.snapshot().files)
+
+
+def test_restore_rolls_content_forward(spark, tmp_path):
+    """RESTORE: a new snapshot carries the target's refs/schema — content
+    equals the old state, history and the exactly-once batch log intact;
+    expire keeps the restored refs live; expired targets refuse cleanly."""
+    v = _mk_scored(spark, tmp_path)
+    _commit_df(spark, v, _scored_df(spark, "a", 0), "b1", replace_buckets=None)
+    good = v.current_snapshot_id()
+    good_rows = sorted(r["path"] for r in v.scan().collect())
+
+    # the "bad write": a full-bucket replace that drops half the rows
+    bad_df = v.scan().where("score < 10")
+    wd = v.new_write_dir("bad")
+    (bad_df.withColumn("__bucket", v.bucket_expr())
+        .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    v.commit(add_write_dir=wd, replace_buckets=list(range(v.n_buckets)),
+             batch_id="bad", manifest={"batch_id": "bad"})
+    assert len(v.scan().collect()) < len(good_rows)
+
+    sid = v.restore(good)
+    assert sid == v.current_snapshot_id()
+    assert sorted(r["path"] for r in v.scan().collect()) == good_rows
+    assert v.snapshot(sid).summary["restored_from"] == good
+    # history intact: the bad snapshot is still time-travelable
+    assert v.scan(snapshot_id=sid - 1).count() < len(good_rows)
+    # exactly-once survives: the bad batch is still a recorded no-op
+    assert "bad" in v.committed_batches()
+    assert v.commit(add_write_dir=None, replace_buckets=[], batch_id="bad",
+                    manifest={}) == sid
+
+    # restoring the current head is a no-op
+    assert v.restore(sid) == sid
+
+    # expire: restored refs are referenced by the head → files stay live
+    v.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert sorted(r["path"] for r in v.scan().collect()) == good_rows
+    # the expired bad snapshot is no longer restorable — clean refusal
+    import pytest as _pytest
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        v.restore(sid - 1)
