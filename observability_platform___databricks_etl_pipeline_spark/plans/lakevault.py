@@ -1059,6 +1059,7 @@ class LakeVault:
         new_n_buckets: int | None = None,
         delta: bool = False,
         max_conflict_retries: int = 10,
+        base_snapshot_id: int | None = None,
     ) -> int:
         """Produce snapshot N+1 = (parent manifests minus replaced buckets)
         + one new manifest per bucket written under ``add_write_dir``;
@@ -1081,8 +1082,19 @@ class LakeVault:
         one-operator-at-a-time by contract.
 
         Idempotent per ``batch_id``: if the batch is already in the head's
-        batch log the commit is a no-op (returns current id)."""
-        base: Snapshot | None = None
+        batch log the commit is a no-op (returns current id).
+
+        ``base_snapshot_id`` pins the snapshot the caller COMPUTED this
+        write against (a long-running rewrite job may finish after other
+        commits landed): the rebase check then compares against that
+        snapshot even on the first attempt, so an interleaved commit to an
+        overlapping bucket raises ``CommitConflict`` instead of being
+        silently clobbered. Unpinned commits (the default) treat the head
+        at entry as their base — correct when the write was derived from
+        the current head moments before."""
+        base: Snapshot | None = (
+            self.snapshot(base_snapshot_id) if base_snapshot_id is not None else None
+        )
         entries_cache: list[dict[str, Any]] | None = None
         for _attempt in range(max_conflict_retries + 1):
             parent = self.snapshot()
@@ -1269,30 +1281,25 @@ class LakeVault:
             sel = [f for f in snap.files if f["bucket"] in set(bset)]
             if not sel:
                 return snap.snapshot_id
-            df = self.scan(buckets=bset)  # folds these buckets' deltas (LWW)
-            n_out = max(1, int(sum(f["rows"] for f in sel) // target_file_rows + 1))
-            wd = self.new_write_dir("compact")
-            (
-                df.withColumn("__bucket", self.bucket_expr())
-                .repartitionByRange(n_out, *cluster_cols)
-                .sortWithinPartitions(*cluster_cols)
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(wd)
-            )
-            return self.commit(
-                add_write_dir=wd,
-                replace_buckets=bset,
-                batch_id=None,
-                summary={
+            # pinned scan folds these buckets' deltas (LWW)
+            df = self.scan(snapshot_id=snap.snapshot_id, buckets=bset)
+            return self._rewrite_buckets(
+                df,
+                bset,
+                sum(f["rows"] for f in sel),
+                "compact",
+                {
                     "operation": "compact",
                     "buckets": bset,
                     "cluster_by": cluster_cols,
                 },
+                base_snapshot_id=snap.snapshot_id,
+                target_file_rows=target_file_rows,
+                sort_cols=cluster_cols,
             )
         nb = n_buckets if n_buckets is not None else self.n_buckets
         bucket = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(nb))
-        df = self.scan()
+        df = self.scan(snapshot_id=snap.snapshot_id)
         n_out = max(1, int(sum(f["rows"] for f in snap.files) // target_file_rows + 1))
         wd = self.new_write_dir("compact")
         (
@@ -1309,18 +1316,71 @@ class LakeVault:
             batch_id=None,
             replace_all=True,
             summary={"operation": "compact", "cluster_by": cluster_cols},
+            base_snapshot_id=snap.snapshot_id,
             new_n_buckets=nb,
         )
 
+    def _rewrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        approx_rows: int,
+        tag: str,
+        summary: dict[str, Any],
+        *,
+        base_snapshot_id: int,
+        target_file_rows: int,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Shared bucket-scoped COW rewrite (compact/delete/update): write
+        ``df`` range-partitioned + sorted on ``sort_cols`` (key columns by
+        default, keeping point-lookup spans tight), then commit it as a
+        replacement of ``buckets`` PINNED to the snapshot the caller
+        computed against — a commit that interleaved with the rewrite job
+        raises ``CommitConflict`` instead of being clobbered."""
+        cols = sort_cols if sort_cols is not None else list(self.key_cols)
+        n_out = max(1, int(approx_rows // target_file_rows + 1))
+        wd = self.new_write_dir(tag)
+        (
+            df.withColumn("__bucket", self.bucket_expr())
+            .repartitionByRange(n_out, *cols)
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(wd)
+        )
+        return self.commit(
+            add_write_dir=wd,
+            replace_buckets=buckets,
+            batch_id=None,
+            summary=summary,
+            base_snapshot_id=base_snapshot_id,
+        )
+
+    def _dml_snapshot(self) -> Snapshot:
+        """Pinned snapshot for a predicate-DML run, with the bucket-less
+        legacy guard: a ``bucket=None`` manifest entry can't be scoped by
+        ``replace_buckets``, so a DML that ignored it would report success
+        while matching rows in that file silently survive."""
+        snap = self.snapshot()
+        if any(r["bucket"] is None for r in snap.manifest_refs):
+            raise ValueError(
+                "table has bucket-less (legacy) file entries — run compact() "
+                "to migrate them into buckets before predicate DML"
+            )
+        return snap
+
     def _affected_buckets(
         self,
+        snapshot_id: int,
         pred: F.Column,
         column_ranges: dict[str, tuple[Any, Any]] | None,
     ) -> list[int]:
         """Buckets containing at least one row where ``pred`` IS TRUE — one
-        probe job over the (optionally stats-pruned) table projecting only
-        the bucket hash, so Parquet reads just the key + predicate columns."""
-        probe = self.scan(column_ranges=column_ranges).where(pred)
+        probe job over the (optionally stats-pruned) pinned snapshot
+        projecting only the bucket hash, so Parquet reads just the key +
+        predicate columns."""
+        probe = self.scan(snapshot_id=snapshot_id, column_ranges=column_ranges).where(pred)
         return sorted(
             r["__b"]
             for r in probe.select(self.bucket_expr().alias("__b")).distinct().collect()
@@ -1355,30 +1415,23 @@ class LakeVault:
         carried no deltas (manifest row totals), else reported as an upper
         bound (pre-fold delta rows double-count)."""
         pred = F.expr(where) if isinstance(where, str) else where
-        snap = self.snapshot()
-        affected = self._affected_buckets(pred, column_ranges)
+        snap = self._dml_snapshot()
+        affected = self._affected_buckets(snap.snapshot_id, pred, column_ranges)
         if not affected:
             return snap.snapshot_id
         bset = set(affected)
         touched = [f for f in snap.files if f["bucket"] in bset]
         before_rows = sum(f["rows"] for f in touched)
         had_deltas = any(f.get("delta") for f in touched)
-        kept = self.scan(buckets=affected).where(~F.coalesce(pred, F.lit(False)))
-        n_out = max(1, int(before_rows // target_file_rows + 1))
-        wd = self.new_write_dir("delete")
-        (
-            kept.withColumn("__bucket", self.bucket_expr())
-            .repartitionByRange(n_out, *self.key_cols)
-            .sortWithinPartitions(*self.key_cols)
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(wd)
+        kept = self.scan(snapshot_id=snap.snapshot_id, buckets=affected).where(
+            ~F.coalesce(pred, F.lit(False))
         )
-        return self.commit(
-            add_write_dir=wd,
-            replace_buckets=affected,
-            batch_id=None,
-            summary={
+        return self._rewrite_buckets(
+            kept,
+            affected,
+            before_rows,
+            "delete",
+            {
                 "operation": "delete",
                 "predicate": str(where),
                 "buckets": affected,
@@ -1388,6 +1441,8 @@ class LakeVault:
                 "rows_before": before_rows,
                 "rows_before_exact": not had_deltas,
             },
+            base_snapshot_id=snap.snapshot_id,
+            target_file_rows=target_file_rows,
         )
 
     def update(
@@ -1406,7 +1461,9 @@ class LakeVault:
         COW-rewritten; the rest carry by manifest reference (same probe +
         rewrite shape as ``delete`` — see its scale notes)."""
         pred = F.expr(where) if isinstance(where, str) else where
-        snap = self.snapshot()
+        if not set_exprs:
+            raise ValueError("update requires at least one column assignment")
+        snap = self._dml_snapshot()
         unknown = sorted(set(set_exprs) - set(snap.schema.names()))
         if unknown:
             raise ValueError(
@@ -1417,12 +1474,12 @@ class LakeVault:
                 "update cannot reassign key columns (that is a delete + "
                 f"insert of a different identity): {sorted(set(set_exprs) & set(self.key_cols))}"
             )
-        affected = self._affected_buckets(pred, column_ranges)
+        affected = self._affected_buckets(snap.snapshot_id, pred, column_ranges)
         if not affected:
             return snap.snapshot_id
         bset = set(affected)
         touched = [f for f in snap.files if f["bucket"] in bset]
-        base = self.scan(buckets=affected)
+        base = self.scan(snapshot_id=snap.snapshot_id, buckets=affected)
         # stage: match flag + new values computed while every ORIGINAL
         # column is still in scope (a single final select would let an
         # assigned name lateral-bind to its own replacement)
@@ -1439,26 +1496,19 @@ class LakeVault:
                 for c in base.columns
             ]
         )
-        n_out = max(1, int(sum(f["rows"] for f in touched) // target_file_rows + 1))
-        wd = self.new_write_dir("update")
-        (
-            out.withColumn("__bucket", self.bucket_expr())
-            .repartitionByRange(n_out, *self.key_cols)
-            .sortWithinPartitions(*self.key_cols)
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(wd)
-        )
-        return self.commit(
-            add_write_dir=wd,
-            replace_buckets=affected,
-            batch_id=None,
-            summary={
+        return self._rewrite_buckets(
+            out,
+            affected,
+            sum(f["rows"] for f in touched),
+            "update",
+            {
                 "operation": "update",
                 "predicate": str(where),
                 "set": sorted(set_exprs),
                 "buckets": affected,
             },
+            base_snapshot_id=snap.snapshot_id,
+            target_file_rows=target_file_rows,
         )
 
     def restore(self, snapshot_id: int) -> int:
@@ -1482,6 +1532,15 @@ class LakeVault:
         if snapshot_id == cur.snapshot_id:
             return cur.snapshot_id
         old = self.snapshot(snapshot_id)  # FileNotFoundError if expired
+        if old.is_legacy() or cur.is_legacy():
+            # a legacy inline snapshot keeps files/batches IN the JSON —
+            # carrying its (empty) refs/batch_log would publish an empty
+            # table and drop the exactly-once ids; any commit migrates
+            raise ValueError(
+                "restore needs manifest-format snapshots on both sides — "
+                "run any commit (e.g. compact()) to migrate the legacy "
+                "inline snapshot first"
+            )
         # fail fast if the old refs were already GC'd (shouldn't happen for
         # a listed snapshot, but a clear error beats a broken head)
         for r in old.manifest_refs:

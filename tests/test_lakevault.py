@@ -632,17 +632,20 @@ def test_delete_where_rewrites_only_affected_buckets(spark, tmp_path):
     _commit_df(spark, v, df, "a", replace_buckets=None)
     pre = {f["path"]: f for f in v.snapshot().files}
 
+    # matches only ids 150 and 151 (quality<0.2 ⇒ id%10 in {0,1}, NULLs
+    # excluded; 150≤score<160) — 2 keys can occupy at most 2 of the 4 buckets, so the
+    # carried-by-reference assertion below is guaranteed non-vacuous
     expected = sorted(
         r["path"]
         for r in v.scan().where(
-            "NOT coalesce(quality < 0.2 AND score >= 150, false)"
+            "NOT coalesce(quality < 0.2 AND score >= 150 AND score < 160, false)"
         ).collect()
     )
-    sid = v.delete("quality < 0.2 AND score >= 150")
+    sid = v.delete("quality < 0.2 AND score >= 150 AND score < 160")
     snap = v.snapshot(sid)
     assert snap.summary["operation"] == "delete"
     affected = set(snap.summary["buckets"])
-    assert 0 < len(affected) < v.n_buckets or len(affected) >= 1
+    assert 0 < len(affected) <= 2 < v.n_buckets
 
     got = sorted(r["path"] for r in v.scan().collect())
     assert got == expected  # matches gone, NULL-predicate rows kept
@@ -773,3 +776,82 @@ def test_restore_rolls_content_forward(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises((FileNotFoundError, ValueError)):
         v.restore(sid - 1)
+
+
+def test_dml_guards_and_pinned_base_conflict(spark, tmp_path):
+    """Guard rails from the r5 review: (1) commit(base_snapshot_id=...)
+    pinned at a snapshot an interleaved commit has since overlapped raises
+    CommitConflict instead of clobbering; (2) predicate DML refuses tables
+    with bucket-less legacy manifest entries; (3) restore refuses legacy
+    inline snapshots; (4) update({}) refuses."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import CommitConflict
+
+    v = _mk_scored(spark, tmp_path)
+    df = spark.range(40).selectExpr(
+        "concat('r', id % 4) repo", "concat('p', id) path", "id score",
+        "cast(md5(cast(id as string)) as string) content_sha256",
+        "id last_seq", "false is_deleted",
+    )
+    _commit_df(spark, v, df, "a", replace_buckets=None)
+    pinned = v.current_snapshot_id()
+    some_bucket = v.snapshot().files[0]["bucket"]
+
+    # a long-running rewrite computed against `pinned`...
+    wd = v.new_write_dir("slow")
+    (df.limit(3).withColumn("__bucket", v.bucket_expr())
+       .repartition(1).write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    # ...while another commit lands on an overlapping bucket
+    _commit_df(spark, v, df.limit(8), "interleaved", replace_buckets=None)
+
+    with _pytest.raises(CommitConflict, match="concurrent writes to buckets"):
+        v.commit(add_write_dir=wd, replace_buckets=[some_bucket],
+                 batch_id=None, base_snapshot_id=pinned)
+
+    with _pytest.raises(ValueError, match="at least one column assignment"):
+        v.update({}, where="score > 0")
+
+    # bucket-less legacy entry → DML refuses (a scoped rewrite would let
+    # matching rows in that file silently survive)
+    snap = v.snapshot()
+    doctored = snap.to_json()
+    doctored["manifest_refs"][0]["bucket"] = None
+    with open(v._snap_path(snap.snapshot_id), "w") as f:
+        _json.dump(doctored, f)
+    v2 = LakeVault.load(spark, v.root)
+    with _pytest.raises(ValueError, match="bucket-less"):
+        v2.delete("score > 0")
+    with _pytest.raises(ValueError, match="bucket-less"):
+        v2.update({"score": "0"}, where="score > 0")
+
+
+def test_restore_refuses_legacy_inline_snapshot(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    v = _mk(spark, tmp_path, [("r1", "a.py", 1, False), ("r2", "b.py", 2, False)])
+    good = v.current_snapshot_id()
+    wd = v.new_write_dir("b1")
+    df = spark.createDataFrame([("r3", "c.py", 3, False)],
+                               "repo string, path string, last_seq long, is_deleted boolean")
+    (df.withColumn("__bucket", v.bucket_expr())
+       .repartition(1, "__bucket").write.mode("overwrite").partitionBy("__bucket").parquet(wd))
+    v.commit(add_write_dir=wd, replace_buckets=[], batch_id="b1", manifest={"batch_id": "b1"})
+
+    # doctor the TARGET snapshot into legacy inline form
+    old = v.snapshot(good)
+    legacy = old.to_json()
+    legacy.pop("manifest_refs"), legacy.pop("batch_log")
+    legacy["files"] = old.files
+    legacy["committed_batches"] = old.committed_batches
+    with open(v._snap_path(good), "w") as f:
+        _json.dump(legacy, f)
+
+    v2 = LakeVault.load(spark, v.root)
+    with _pytest.raises(ValueError, match="legacy"):
+        v2.restore(good)
+    assert v2.scan().count() == 3  # head untouched by the refusal
