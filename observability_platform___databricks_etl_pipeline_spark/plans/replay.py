@@ -920,7 +920,16 @@ class CDCEngine:
                     per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n_files"]
             over = sorted(b for b, n in per_bucket.items() if n > self.mor_compact_threshold)
             if over:
-                self.vault.compact(buckets=over)
+                from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import CommitConflict
+
+                try:
+                    self.vault.compact(buckets=over)
+                except CommitConflict:
+                    # a concurrent ingest's commit interleaved with this
+                    # opportunistic fold — skip it; the pile is still over
+                    # threshold, so the NEXT batch simply re-triggers the
+                    # compact (maintenance is best-effort, replay is not)
+                    pass
                 _t0 = self._tick("auto_compact", _t0)
 
         return m

@@ -339,3 +339,67 @@ def test_expire_sweeps_crashed_claim_temps(spark, tmp_path):
     assert not os.path.exists(old)
     assert not os.path.exists(tmp_old)
     assert os.path.exists(young)  # inside the grace window: kept
+
+
+def test_two_mor_engines_concurrent_ingest(spark, tmp_path):
+    """CAPSTONE: two merge-on-read engines ingesting DIFFERENT WALs into
+    ONE table CONCURRENTLY. MOR batches are pure delta appends, which the
+    optimistic protocol always rebases, so both replays land exactly-once
+    whatever the interleaving; auto-compact (the only contention point)
+    is best-effort and skips on CommitConflict. Final state must equal a
+    SERIAL replay of both WALs (disjoint key spaces keep the LWW outcome
+    interleaving-independent)."""
+    import pyspark.sql.functions as SF
+
+    from observability_platform___databricks_etl_pipeline_spark.gen import generate_changelog, write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans import CDCEngine
+
+    def mk_wal(seed, prefix, path):
+        df = generate_changelog(
+            spark, 3000, seed=seed, with_schema_evolution=False
+        ).withColumn("repo", SF.concat(SF.lit(prefix), SF.col("repo")))
+        write_wal(df, path, chunk_size=1000)
+
+    wal_a, wal_b = str(tmp_path / "wal_a"), str(tmp_path / "wal_b")
+    mk_wal(7, "a-", wal_a)
+    mk_wal(13, "b-", wal_b)
+
+    def state(engine):
+        return sorted(
+            (r["repo"], r["path"], r["last_seq"],
+             r["lang"], r["content"])
+            for r in engine.current_state().collect()
+        )
+
+    # serial oracle: one engine, both WALs in sequence
+    serial = CDCEngine(spark, str(tmp_path / "serial"), n_buckets=8,
+                       with_rollup=False, write_mode="mor",
+                       mor_compact_threshold=2)
+    serial.replay(wal_a)
+    serial.replay(wal_b)
+    want = state(serial)
+
+    # concurrent: two engines, one table (created before the race),
+    # threshold 2 so auto-compact contends mid-race
+    root = str(tmp_path / "conc")
+    ea = CDCEngine(spark, root, n_buckets=8, with_rollup=False,
+                   write_mode="mor", mor_compact_threshold=2)
+    eb = CDCEngine(spark, root, n_buckets=8, with_rollup=False,
+                   write_mode="mor", mor_compact_threshold=2)
+
+    results, errs = _race([
+        lambda: ea.replay(wal_a),
+        lambda: eb.replay(wal_b),
+    ])
+    assert errs == [None, None], errs
+    for res in results:
+        assert all(b.skipped or b.conserved() for b in res.batches)
+
+    assert state(ea) == want
+    # every batch from both WALs is exactly-once in the shared log
+    bids = {CDCEngine.batch_id(w, c) for w in (wal_a, wal_b) for c in range(3)}
+    assert bids <= ea.vault.committed_batches()
+    # re-replay of either WAL is a full no-op
+    res3 = CDCEngine(spark, root, n_buckets=8, with_rollup=False,
+                     write_mode="mor").replay(wal_a)
+    assert all(b.skipped for b in res3.batches)
