@@ -12,7 +12,8 @@ Event mix (FIXTURES.md §2): ~3% exact-duplicate events (same key+content, new
 seq), ~2% same-key-different-content duplicates (LWW exercised), ~5% deletes,
 block-local out-of-order ``seq``, one hot repo holding ~hot_pct% of events
 (skew), ~0.5% malformed rows (null repo → quarantine), one ``add_column`` and
-one ``rename_column`` event mid-stream, redactable tokens embedded in ~6% of
+one ``rename_column`` event mid-stream (plus one ``promote_type`` widening
+when ``with_type_promotion=True``), redactable tokens embedded in ~6% of
 contents so sanitization is observable.
 """
 
@@ -56,6 +57,7 @@ def generate_changelog(
     hot_pct: int = 50,
     seed: int = 42,
     with_schema_evolution: bool = True,
+    with_type_promotion: bool = False,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Build the change-log DataFrame: columns ``CHANGELOG_COLUMNS``.
@@ -161,31 +163,43 @@ def generate_changelog(
     )
 
     if with_schema_evolution and n_events >= 9:
+        # evolution script: (seq slot, op, props). With promotion enabled the
+        # column is born FLOAT and widened to DOUBLE after the rename, so the
+        # table ends with data files under three schema versions of the same
+        # column id; default (promotion off) reproduces the historical
+        # two-event stream byte-for-byte.
         a_id, r_id = n_events // 3, (2 * n_events) // 3
-        schema_rows = spark.range(0, 2).select(
-            F.when(F.col("id") == 0, F.lit(a_id)).otherwise(F.lit(r_id)).cast("long").alias("seq"),
-            F.timestamp_seconds(F.lit(_EPOCH) + F.when(F.col("id") == 0, a_id).otherwise(r_id)).alias("ts"),
+        born_type = "float" if with_type_promotion else "double"
+        evo: list[tuple[int, str, dict[str, str]]] = [
+            (a_id, "add_column", {"column": "quality", "type": born_type}),
+            (r_id, "rename_column", {"from": "quality", "to": "quality_score"}),
+        ]
+        if with_type_promotion:
+            evo.append(
+                ((5 * n_events) // 6, "promote_type",
+                 {"column": "quality_score", "type": "double"})
+            )
+        rows = spark.createDataFrame(
+            [(i, int(s), op, pr) for i, (s, op, pr) in enumerate(evo)],
+            "idx long, seq long, op string, props map<string,string>",
+        )
+        schema_rows = rows.select(
+            F.col("seq"),
+            F.timestamp_seconds(F.lit(_EPOCH) + F.col("seq")).alias("ts"),
             F.lit("__schema__").alias("repo"),
             F.lit("__schema__").alias("path"),
-            F.lower(F.lpad(F.conv((F.col("id") + 1).cast("string"), 10, 16), 40, "0")).alias("commit"),
-            F.when(F.col("id") == 0, F.lit("add_column")).otherwise(F.lit("rename_column")).alias("op"),
+            F.lower(F.lpad(F.conv((F.col("idx") + 1).cast("string"), 10, 16), 40, "0")).alias("commit"),
+            F.col("op"),
             F.lit(None).cast("string").alias("lang"),
             F.lit(None).cast("string").alias("content"),
-            F.when(
-                F.col("id") == 0,
-                F.create_map(F.lit("column"), F.lit("quality"), F.lit("type"), F.lit("double")),
-            )
-            .otherwise(F.create_map(F.lit("from"), F.lit("quality"), F.lit("to"), F.lit("quality_score")))
-            .alias("props"),
+            F.col("props"),
         )
-        # displace the two data events whose seq we reuse: shift them to the
+        # displace the data events whose seq we reuse: shift them to the
         # end of the seq space so seq stays unique.
-        out = out.withColumn(
-            "seq",
-            F.when(F.col("seq") == a_id, F.lit(n_events))
-            .when(F.col("seq") == r_id, F.lit(n_events + 1))
-            .otherwise(F.col("seq")),
-        ).unionByName(schema_rows)
+        displaced = F.col("seq")
+        for i, (sid, _, _) in enumerate(evo):
+            displaced = F.when(F.col("seq") == sid, F.lit(n_events + i)).otherwise(displaced)
+        out = out.withColumn("seq", displaced).unionByName(schema_rows)
 
     return out
 

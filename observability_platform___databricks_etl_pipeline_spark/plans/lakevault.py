@@ -69,7 +69,13 @@ SPARK_TYPE = {
     "boolean": "boolean",
     "timestamp": "timestamp",
     "int": "int",
+    "float": "float",
 }
+
+# Legal type promotions (Iceberg spec §Schema Evolution: widening only —
+# values written under the old type re-read losslessly under the new one;
+# narrowing or cross-family casts are rejected as malformed schema ops).
+TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 # Version tag of the bucket function (murmur3 F.hash over raw keys, pmod n).
 # Stamped into table.json at create() and checked before any bucket-scoped
@@ -115,6 +121,28 @@ class TableSchema:
             # counts the event as a malformed schema op and skips it.
             raise ValueError(f"rename_column: column {new!r} already exists")
         cols = [dict(c, name=new) if c["name"] == old else dict(c) for c in self.columns]
+        return TableSchema(cols, self.next_id, self.schema_id + 1)
+
+    def promote_column(self, name: str, new_type: str) -> "TableSchema":
+        """Widen a column's type in place (same column id — Iceberg type
+        promotion). Only the lossless widenings in ``TYPE_PROMOTIONS`` are
+        legal; anything else (narrowing, cross-family) raises so the replay
+        path counts the event as malformed and skips it. Re-applying the
+        promotion a column already has (crash-retry of a committed batch)
+        is an idempotent no-op."""
+        by_name = {c["name"]: c for c in self.columns}
+        if name not in by_name:
+            raise KeyError(f"promote_type: no column named {name!r}")
+        old_type = by_name[name]["type"]
+        if old_type == new_type:
+            return self  # idempotent re-apply
+        if (old_type, new_type) not in TYPE_PROMOTIONS:
+            raise ValueError(
+                f"promote_type: {old_type!r} -> {new_type!r} is not a lossless widening"
+            )
+        cols = [
+            dict(c, type=new_type) if c["name"] == name else dict(c) for c in self.columns
+        ]
         return TableSchema(cols, self.next_id, self.schema_id + 1)
 
     def to_json(self) -> dict[str, Any]:

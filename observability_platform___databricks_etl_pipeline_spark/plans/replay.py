@@ -75,7 +75,7 @@ BASE_COLUMNS: list[tuple[str, str]] = [
     ("last_seq", "long"),
     ("is_deleted", "boolean"),
 ]
-SCHEMA_OPS = ("add_column", "rename_column")
+SCHEMA_OPS = ("add_column", "rename_column", "promote_type")
 _TIMING = os.environ.get("CDC_TIMING", "") == "1"
 
 
@@ -664,6 +664,15 @@ class CDCEngine:
                     for c in schema.columns:
                         if c["name"] == p["column"] and c["name"] not in before:
                             c["prop"] = p["column"]  # stable props-key across renames
+                elif r["op"] == "promote_type":
+                    # widening only (TYPE_PROMOTIONS); key columns are
+                    # off-limits — the murmur3 bucket hash of int(v) and
+                    # long(v) differ, so promoting a key would silently
+                    # re-bucket every existing row out from under the
+                    # manifest's bucket assignments.
+                    if p["column"] in self.vault.key_cols:
+                        raise ValueError("promote_type on a key column")
+                    schema = schema.promote_column(p["column"], p["type"])
                 else:
                     schema = schema.rename_column(p["from"], p["to"])
             except (KeyError, ValueError):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import struct
 
 import duckdb
 
@@ -41,7 +42,13 @@ _OP_ALIASES = {
     "update": "update", "u": "update", "modify": "update", "m": "update",
     "delete": "delete", "d": "delete", "remove": "delete", "rm": "delete",
     "add_column": "add_column", "rename_column": "rename_column",
+    "promote_type": "promote_type",
 }
+
+SCHEMA_OPS = ["add_column", "rename_column", "promote_type"]
+
+# mirror of plans.lakevault.TYPE_PROMOTIONS (lossless widenings only)
+_TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 
 def sanitize(text: str | None) -> str | None:
@@ -122,7 +129,7 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
         # quarantined like any malformed row; add_column onto an existing
         # name is an idempotent no-op; rename onto an existing name is an
         # invalid op and skipped (committing it would duplicate names).
-        for _, r in cdf[cdf["op"].isin(["add_column", "rename_column"])].iterrows():
+        for _, r in cdf[cdf["op"].isin(SCHEMA_OPS)].iterrows():
             if any(
                 _n(r[f]) is None for f in ("seq", "repo", "path", "commit")
             ):
@@ -137,6 +144,20 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
                         {"name": props["column"], "type": props.get("type", "string"),
                          "prop": props["column"]}
                     )
+            elif r["op"] == "promote_type":
+                # widening only; key/base columns off-limits (engine: replay
+                # counts those as invalid and skips). PROMOTION IS
+                # METADATA-ONLY: carried state rows keep their values —
+                # float32 values widen to double losslessly, so no rewrite.
+                if "column" not in props or "type" not in props:
+                    continue
+                for c in extra_cols:
+                    if c["name"] == props["column"]:
+                        if c["type"] == props["type"]:
+                            break  # idempotent re-apply
+                        if (c["type"], props["type"]) in _TYPE_PROMOTIONS:
+                            c["type"] = props["type"]
+                        break  # illegal widening: skipped (engine counts it)
             else:
                 if "from" not in props or "to" not in props:
                     continue  # malformed schema event: skipped
@@ -151,7 +172,7 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
                         for row in state.values():
                             if props["from"] in row:
                                 row[props["to"]] = row.pop(props["from"])
-        data = cdf[~cdf["op"].isin(["add_column", "rename_column"]) | cdf["op"].isna()]
+        data = cdf[~cdf["op"].isin(SCHEMA_OPS) | cdf["op"].isna()]
         for _, r in data.iterrows():
             seq, repo, path = _n(r["seq"]), _n(r["repo"]), _n(r["path"])
             commit, rop = _n(r["commit"]), _n(r["op"])
@@ -196,6 +217,11 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
                     # the double special case
                     if c["type"] == "double":
                         v = float(v)
+                    elif c["type"] == "float":
+                        # engine stores float32; emulate the precision loss
+                        # so post-promotion doubles carry the same value a
+                        # float-era file widens to
+                        v = struct.unpack("<f", struct.pack("<f", float(v)))[0]
                     elif c["type"] in ("long", "int"):
                         try:
                             v = int(v)

@@ -127,6 +127,146 @@ def test_schema_evolution_survives_resume(spark, tmp_path):
     assert got == {k: (v["content_sha256"], v.get("quality_score")) for k, v in exp.items()}
 
 
+def test_promote_type_replay(spark, tmp_path):
+    """Type promotion e2e (Iceberg widening): the quality column is born
+    FLOAT, renamed, then promoted to DOUBLE mid-stream — float-era files are
+    widened at read time by column id (no rewrite), double-era extractions
+    keep full precision. Engine state must equal the Python oracle, which
+    emulates the float32 round-trip."""
+    wal = str(tmp_path / "wal_pr")
+    write_wal(
+        generate_changelog(spark, 4000, seed=23, with_type_promotion=True),
+        wal, chunk_size=800,
+    )
+    eng = CDCEngine(spark, str(tmp_path / "tbl_pr"), n_buckets=8)
+    res = eng.replay(wal)
+    assert sum(b.schema_ops_invalid for b in res.batches) == 0
+    assert sum(b.schema_ops for b in res.batches) == 3
+
+    state = eng.current_state()
+    assert dict(state.dtypes)["quality_score"] == "double"
+    got = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["quality_score"])
+        for r in state.collect()
+    }
+    exp = replay_oracle(wal)
+    assert got == {
+        k: (v["content_sha256"], v.get("quality_score")) for k, v in exp.items()
+    }
+    # schema history: base, +add(float), +rename, +promote(double)
+    snap = eng.vault.snapshot()
+    assert len(snap.schemas) >= 4
+    types_by_version = [
+        {c["name"]: c["type"] for c in s.columns} for _, s in sorted(snap.schemas.items())
+    ]
+    assert types_by_version[-1]["quality_score"] == "double"
+    assert any(t.get("quality") == "float" or t.get("quality_score") == "float"
+               for t in types_by_version)
+
+
+def test_promote_preserves_float_era_precision(spark, tmp_path):
+    """Float-era rows widen to the float32 value (0.1f != 0.1d); double-era
+    rows keep full precision — the lossless-widening contract, pinned."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None,
+         {"column": "quality", "type": "float"}),
+        (1, "r1", "a.py", "c1", "insert", "python", "x = 1", {"quality": "0.1"}),
+        (10, "__schema__", "__schema__", "c2", "promote_type", None, None,
+         {"column": "quality", "type": "double"}),
+        (11, "r1", "b.py", "c3", "insert", "python", "x = 2", {"quality": "0.1"}),
+    ]
+    wal = str(tmp_path / "wal_fp")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=10)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_fp"), n_buckets=1, with_rollup=False)
+    eng.replay(wal)
+    state = eng.current_state()
+    assert dict(state.dtypes)["quality"] == "double"
+    got = {r["path"]: r["quality"] for r in state.collect()}
+    import struct as _s
+
+    f32 = _s.unpack("<f", _s.pack("<f", 0.1))[0]
+    assert got == {"a.py": f32, "b.py": 0.1}
+    assert got["a.py"] != got["b.py"]  # the precision boundary is observable
+    oracle = replay_oracle(wal)
+    assert {k[1]: v.get("quality") for k, v in oracle.items()} == got
+
+
+def test_promote_invalid_ops_skipped(spark, tmp_path):
+    """Narrowing, cross-family, unknown-column, key-column and missing-props
+    promote events are counted invalid and skipped — never a driver abort,
+    never a schema change."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None,
+         {"column": "quality", "type": "double"}),
+        (1, "__schema__", "__schema__", "c1", "promote_type", None, None,
+         {"column": "quality", "type": "float"}),  # narrowing: invalid
+        (2, "__schema__", "__schema__", "c2", "promote_type", None, None,
+         {"column": "quality", "type": "string"}),  # cross-family: invalid
+        (3, "__schema__", "__schema__", "c3", "promote_type", None, None,
+         {"column": "nope", "type": "long"}),  # unknown column: invalid
+        (4, "__schema__", "__schema__", "c4", "promote_type", None, None,
+         {"column": "repo", "type": "long"}),  # key column: invalid
+        (5, "__schema__", "__schema__", "c5", "promote_type", None, None,
+         {"column": "quality"}),  # missing 'type': invalid
+        (6, "r1", "a.py", "c6", "insert", "python", "x = 1", {"quality": "1.5"}),
+    ]
+    wal = str(tmp_path / "wal_inv")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=100)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_inv"), n_buckets=2, with_rollup=False)
+    res = eng.replay(wal)
+    m = res.batches[0]
+    assert m.schema_ops == 6 and m.schema_ops_invalid == 5
+    state = eng.current_state()
+    assert dict(state.dtypes)["quality"] == "double"
+    assert {r["path"]: r["quality"] for r in state.collect()} == {"a.py": 1.5}
+
+
+def test_promote_survives_resume(spark, tmp_path):
+    """Crash-resume across a promote_type batch: the committed schema version
+    carries the widened type; re-applying the batch is idempotent."""
+    import pytest
+
+    wal = str(tmp_path / "wal_pres")
+    write_wal(
+        generate_changelog(spark, 4000, seed=24, with_type_promotion=True),
+        wal, chunk_size=800,
+    )
+    root = str(tmp_path / "tbl_pres")
+    with pytest.raises(RuntimeError):
+        CDCEngine(spark, root, n_buckets=8).replay(wal, fail_after_batches=5)
+    eng = CDCEngine(spark, root, n_buckets=8)
+    eng.replay(wal)
+    exp = replay_oracle(wal)
+    got = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["quality_score"])
+        for r in eng.current_state().collect()
+    }
+    assert got == {k: (v["content_sha256"], v.get("quality_score")) for k, v in exp.items()}
+    assert dict(eng.current_state().dtypes)["quality_score"] == "double"
+
+
+def test_promote_column_unit():
+    """TableSchema.promote_column: lattice, idempotency, id stability."""
+    import pytest
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import TableSchema
+
+    s = TableSchema.from_names([("k", "string"), ("n", "int"), ("x", "float")])
+    s2 = s.promote_column("n", "long")
+    assert [c["type"] for c in s2.columns] == ["string", "long", "float"]
+    assert [c["id"] for c in s2.columns] == [c["id"] for c in s.columns]
+    assert s2.schema_id == s.schema_id + 1
+    assert s2.promote_column("n", "long") is s2  # idempotent re-apply
+    s3 = s2.promote_column("x", "double")
+    assert {c["name"]: c["type"] for c in s3.columns}["x"] == "double"
+    with pytest.raises(ValueError):
+        s3.promote_column("n", "int")  # narrowing
+    with pytest.raises(ValueError):
+        s3.promote_column("k", "long")  # cross-family
+    with pytest.raises(KeyError):
+        s3.promote_column("missing", "long")
+
+
 def test_rename_onto_existing_column_is_skipped_as_invalid(spark, tmp_path):
     """A WAL rename_column targeting an EXISTING name must be counted as an
     invalid schema op and skipped — committing it would produce duplicate
