@@ -13,7 +13,8 @@ seq), ~2% same-key-different-content duplicates (LWW exercised), ~5% deletes,
 block-local out-of-order ``seq``, one hot repo holding ~hot_pct% of events
 (skew), ~0.5% malformed rows (null repo → quarantine), one ``add_column`` and
 one ``rename_column`` event mid-stream (plus one ``promote_type`` widening
-when ``with_type_promotion=True``), redactable tokens embedded in ~6% of
+when ``with_type_promotion=True`` and one ``drop_column`` when
+``with_drop_column=True``), redactable tokens embedded in ~6% of
 contents so sanitization is observable.
 """
 
@@ -58,6 +59,7 @@ def generate_changelog(
     seed: int = 42,
     with_schema_evolution: bool = True,
     with_type_promotion: bool = False,
+    with_drop_column: bool = False,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Build the change-log DataFrame: columns ``CHANGELOG_COLUMNS``.
@@ -178,6 +180,13 @@ def generate_changelog(
             evo.append(
                 ((5 * n_events) // 6, "promote_type",
                  {"column": "quality_score", "type": "double"})
+            )
+        if with_drop_column:
+            # drop the evolved column late in the stream: the final state
+            # must not carry quality_score at all, and pre-drop values must
+            # be unreachable (Iceberg drop semantics — id never reused)
+            evo.append(
+                ((11 * n_events) // 12, "drop_column", {"column": "quality_score"})
             )
         rows = spark.createDataFrame(
             [(i, int(s), op, pr) for i, (s, op, pr) in enumerate(evo)],

@@ -145,6 +145,20 @@ class TableSchema:
         ]
         return TableSchema(cols, self.next_id, self.schema_id + 1)
 
+    def drop_column(self, name: str) -> "TableSchema":
+        """Remove a column (Iceberg drop): METADATA-ONLY — data files keep
+        their bytes; scans simply stop projecting the id, and the next COW
+        rewrite of a bucket physically sheds it. The id is never reused
+        (``next_id`` unchanged), so a later ``add_column`` of the same NAME
+        is a genuinely new column that reads as typed nulls from every file
+        written before the re-add — values of the dropped generation can
+        never bleed into the new one. Dropping an unknown column raises so
+        the replay path counts the event as malformed and skips it."""
+        if name not in self.names():
+            raise KeyError(f"drop_column: no column named {name!r}")
+        cols = [dict(c) for c in self.columns if c["name"] != name]
+        return TableSchema(cols, self.next_id, self.schema_id + 1)
+
     def to_json(self) -> dict[str, Any]:
         return {"columns": self.columns, "next_id": self.next_id, "schema_id": self.schema_id}
 

@@ -75,7 +75,7 @@ BASE_COLUMNS: list[tuple[str, str]] = [
     ("last_seq", "long"),
     ("is_deleted", "boolean"),
 ]
-SCHEMA_OPS = ("add_column", "rename_column", "promote_type")
+SCHEMA_OPS = ("add_column", "rename_column", "promote_type", "drop_column")
 _TIMING = os.environ.get("CDC_TIMING", "") == "1"
 
 
@@ -664,6 +664,22 @@ class CDCEngine:
                     for c in schema.columns:
                         if c["name"] == p["column"] and c["name"] not in before:
                             c["prop"] = p["column"]  # stable props-key across renames
+                elif r["op"] == "drop_column":
+                    # base columns (ids 1..len(BASE_COLUMNS)) are
+                    # load-bearing — identity, LWW order, tombstones,
+                    # sanitize inputs — and the key columns bucket the
+                    # table; dropping any of them is an invalid op. Only
+                    # evolved (extra) columns are droppable.
+                    by_name = {c["name"]: c for c in schema.columns}
+                    if p["column"] not in by_name:
+                        raise KeyError(p["column"])
+                    base_ids = {i + 1 for i in range(len(BASE_COLUMNS))}
+                    if (
+                        by_name[p["column"]]["id"] in base_ids
+                        or p["column"] in self.vault.key_cols
+                    ):
+                        raise ValueError("drop_column on a base/key column")
+                    schema = schema.drop_column(p["column"])
                 elif r["op"] == "promote_type":
                     # widening only (TYPE_PROMOTIONS); key columns are
                     # off-limits — the murmur3 bucket hash of int(v) and

@@ -42,10 +42,10 @@ _OP_ALIASES = {
     "update": "update", "u": "update", "modify": "update", "m": "update",
     "delete": "delete", "d": "delete", "remove": "delete", "rm": "delete",
     "add_column": "add_column", "rename_column": "rename_column",
-    "promote_type": "promote_type",
+    "promote_type": "promote_type", "drop_column": "drop_column",
 }
 
-SCHEMA_OPS = ["add_column", "rename_column", "promote_type"]
+SCHEMA_OPS = ["add_column", "rename_column", "promote_type", "drop_column"]
 
 # mirror of plans.lakevault.TYPE_PROMOTIONS (lossless widenings only)
 _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
@@ -144,6 +144,21 @@ def replay_oracle(wal_dir: str) -> dict[tuple[str, str], dict]:
                         {"name": props["column"], "type": props.get("type", "string"),
                          "prop": props["column"]}
                     )
+            elif r["op"] == "drop_column":
+                # base/key columns are load-bearing: engine counts those
+                # drops invalid and skips. A legal drop is metadata-only,
+                # but the column's VALUES become unreachable (scans stop
+                # projecting the id) — mirror by popping from carried rows.
+                # A later re-add of the same name is a NEW column id, so
+                # pre-drop values never resurface.
+                name = props.get("column")
+                if name is None or name in base_names:
+                    continue
+                if not any(c["name"] == name for c in extra_cols):
+                    continue  # unknown column: invalid, skipped
+                extra_cols[:] = [c for c in extra_cols if c["name"] != name]
+                for row in state.values():
+                    row.pop(name, None)
             elif r["op"] == "promote_type":
                 # widening only; key/base columns off-limits (engine: replay
                 # counts those as invalid and skips). PROMOTION IS

@@ -298,3 +298,149 @@ def test_rename_onto_existing_column_is_skipped_as_invalid(spark, tmp_path):
     state = eng.current_state()
     assert state.columns.count("lang") == 1 and "quality" in state.columns
     assert state.where(F.col("quality") == 0.5).count() == 1
+
+def test_drop_column_replay(spark, tmp_path):
+    """Iceberg drop e2e: the evolved column is added, renamed, promoted and
+    finally DROPPED mid-stream — final state carries no quality column at
+    all, values written before the drop are unreachable, and the engine
+    equals the Python oracle on the full row."""
+    wal = str(tmp_path / "wal_dr")
+    write_wal(
+        generate_changelog(
+            spark, 4000, seed=25, with_type_promotion=True, with_drop_column=True
+        ),
+        wal, chunk_size=800,
+    )
+    eng = CDCEngine(spark, str(tmp_path / "tbl_dr"), n_buckets=8)
+    res = eng.replay(wal)
+    assert sum(b.schema_ops_invalid for b in res.batches) == 0
+    assert sum(b.schema_ops for b in res.batches) == 4
+
+    state = eng.current_state()
+    assert "quality_score" not in state.columns
+    assert "quality" not in state.columns
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"] for r in state.collect()
+    }
+    exp = replay_oracle(wal)
+    assert set(exp) == set(got)
+    assert got == {k: v["content_sha256"] for k, v in exp.items()}
+    for v in exp.values():
+        assert "quality_score" not in v and "quality" not in v
+    # schema history keeps every version: the dropped column is still
+    # readable via time travel to a pre-drop snapshot
+    snap = eng.vault.snapshot()
+    pre_drop = [
+        sid for sid, s in snap.schemas.items()
+        if "quality_score" in [c["name"] for c in s.columns]
+    ]
+    assert pre_drop, "pre-drop schema versions must remain in history"
+
+
+def test_drop_then_readd_is_a_new_column(spark, tmp_path):
+    """The id-reuse contract, pinned: drop then re-add the same NAME yields a
+    NEW column id — rows written under the first generation read as NULL
+    after the re-add; only post-re-add values surface."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None,
+         {"column": "quality", "type": "double"}),
+        (1, "r1", "a.py", "c1", "insert", "python", "x = 1", {"quality": "1.5"}),
+        (10, "__schema__", "__schema__", "c2", "drop_column", None, None,
+         {"column": "quality"}),
+        (11, "r1", "b.py", "c3", "insert", "python", "x = 2", {"quality": "9.9"}),
+        (20, "__schema__", "__schema__", "c4", "add_column", None, None,
+         {"column": "quality", "type": "double"}),
+        (21, "r1", "c.py", "c5", "insert", "python", "x = 3", {"quality": "2.5"}),
+    ]
+    wal = str(tmp_path / "wal_ra")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=2)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_ra"), n_buckets=1, with_rollup=False)
+    eng.replay(wal)
+    state = eng.current_state()
+    got = {r["path"]: r["quality"] for r in state.collect()}
+    # a.py: written under generation 1 (id N) -> NULL under generation 2;
+    # b.py: written while dropped -> NULL; c.py: generation 2 value
+    assert got == {"a.py": None, "b.py": None, "c.py": 2.5}
+    oracle = replay_oracle(wal)
+    assert {k[1]: v.get("quality") for k, v in oracle.items()} == got
+    # two distinct ids for the two generations
+    snap = eng.vault.snapshot()
+    ids = {
+        c["id"]
+        for s in snap.schemas.values()
+        for c in s.columns
+        if c["name"] == "quality"
+    }
+    assert len(ids) == 2
+
+
+def test_drop_invalid_ops_skipped(spark, tmp_path):
+    """Drops of base, key, unknown and missing-prop columns are counted
+    invalid and skipped — never a driver abort, never a schema change."""
+    rows = [
+        (0, "__schema__", "__schema__", "c0", "add_column", None, None,
+         {"column": "quality", "type": "double"}),
+        (1, "__schema__", "__schema__", "c1", "drop_column", None, None,
+         {"column": "repo"}),  # key column: invalid
+        (2, "__schema__", "__schema__", "c2", "drop_column", None, None,
+         {"column": "content"}),  # base column: invalid
+        (3, "__schema__", "__schema__", "c3", "drop_column", None, None,
+         {"column": "nope"}),  # unknown: invalid
+        (4, "__schema__", "__schema__", "c4", "drop_column", None, None,
+         {}),  # missing props: invalid
+        (5, "r1", "a.py", "c5", "insert", "python", "x = 1", {"quality": "1.5"}),
+    ]
+    wal = str(tmp_path / "wal_di")
+    write_wal(_mini_wal_df(spark, rows), wal, chunk_size=100)
+    eng = CDCEngine(spark, str(tmp_path / "tbl_di"), n_buckets=2, with_rollup=False)
+    res = eng.replay(wal)
+    m = res.batches[0]
+    assert m.schema_ops == 5 and m.schema_ops_invalid == 4
+    state = eng.current_state()
+    assert set(state.columns) >= {"repo", "content", "quality"}
+    assert {r["path"]: r["quality"] for r in state.collect()} == {"a.py": 1.5}
+
+
+def test_drop_survives_resume(spark, tmp_path):
+    """Crash-resume across a drop_column batch: the committed schema version
+    has the column gone; resume completes to the oracle state."""
+    import pytest
+
+    wal = str(tmp_path / "wal_dres")
+    write_wal(
+        generate_changelog(
+            spark, 4000, seed=26, with_type_promotion=True, with_drop_column=True
+        ),
+        wal, chunk_size=800,
+    )
+    root = str(tmp_path / "tbl_dres")
+    with pytest.raises(RuntimeError):
+        CDCEngine(spark, root, n_buckets=8).replay(wal, fail_after_batches=5)
+    eng = CDCEngine(spark, root, n_buckets=8)
+    eng.replay(wal)
+    state = eng.current_state()
+    assert "quality_score" not in state.columns
+    exp = replay_oracle(wal)
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"] for r in state.collect()
+    }
+    assert got == {k: v["content_sha256"] for k, v in exp.items()}
+
+
+def test_drop_column_unit():
+    """TableSchema.drop_column: id retirement, idempotency shape, errors."""
+    import pytest
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import TableSchema
+
+    s = TableSchema.from_names([("k", "string"), ("q", "double")])
+    s2 = s.drop_column("q")
+    assert [c["name"] for c in s2.columns] == ["k"]
+    assert s2.next_id == s.next_id  # id retired, never reused
+    assert s2.schema_id == s.schema_id + 1
+    s3 = s2.add_column("q", "double")
+    assert {c["name"]: c["id"] for c in s3.columns}["q"] != {
+        c["name"]: c["id"] for c in s.columns
+    }["q"]
+    with pytest.raises(KeyError):
+        s2.drop_column("q")  # already gone
