@@ -523,6 +523,94 @@ class LakeVault:
         with open(p) as f:
             return json.load(f)
 
+    # ---- inspection (metadata tables) -------------------------------------
+    # Iceberg `table$snapshots` / `table$files` / Delta DESCRIBE HISTORY and
+    # SHOW PARTITIONS analogs (reference: 04_hive_sql_analysis.py:66 shows
+    # partitions via Hive; here the same answers come from table metadata
+    # without touching a single data file). Register with
+    # createOrReplaceTempView to query them in SQL.
+
+    def inspect_snapshots(self) -> DataFrame:
+        """One row per RETAINED snapshot (expired ones are gone by design):
+        the DESCRIBE HISTORY surface. Driver-built from snapshot JSONs —
+        O(snapshots), bounded by the expiry policy, never O(files)."""
+        rows = []
+        for sid in self.snapshot_ids():
+            s = self.snapshot(sid)
+            su = s.summary or {}
+            op = su.get("operation")
+            rows.append((
+                s.snapshot_id, s.parent_id, s.schema.schema_id, s.n_buckets,
+                None if op is None else str(op),
+                su.get("added_files"), su.get("added_bytes"),
+                su.get("total_files"), su.get("total_rows"),
+            ))
+        ddl = (
+            "snapshot_id long, parent_id long, schema_id long, n_buckets long, "
+            "operation string, added_files long, added_bytes long, "
+            "total_files long, total_rows long"
+        )
+        return self.spark.createDataFrame(rows, ddl)
+
+    def inspect_partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-bucket live footprint (SHOW PARTITIONS analog): file/row/byte
+        counts and delta-pile depth. Built purely from ``manifest_refs``
+        metadata — O(manifests), NEVER loads a manifest's file entries, so
+        it stays cheap at any table size."""
+        snap = self.snapshot(snapshot_id)
+        agg: dict[Any, list[int]] = {}
+        for r in snap.manifest_refs:
+            a = agg.setdefault(r.get("bucket"), [0, 0, 0, 0])
+            a[0] += r.get("n_files", 0)
+            a[1] += r.get("rows", 0)
+            a[2] += r.get("bytes", 0)
+            a[3] += r.get("n_files", 0) if r.get("delta") else 0
+        rows = [
+            (b, v[0], v[1], v[2], v[3]) for b, v in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        ddl = "bucket long, n_files long, rows long, bytes long, delta_files long"
+        return self.spark.createDataFrame(rows, ddl)
+
+    def inspect_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """One row per live data file at the snapshot (Iceberg
+        ``table$files``): path, bucket, schema version, commit ordinal,
+        row/byte counts, MOR flag and key span. O(files) driver rows — the
+        same manifest read every commit's rebase check already performs; for
+        tables where that is too big, ``inspect_partitions`` (O(manifests))
+        and ``inspect_snapshots`` (O(snapshots)) answer the aggregate
+        questions without loading file entries."""
+        snap = self.snapshot(snapshot_id)
+        rows = [
+            (
+                f["path"], f.get("bucket"), f.get("schema_id"), f.get("ord"),
+                f.get("rows"), f.get("bytes"), bool(f.get("delta")),
+                None if f.get("min_key") is None else str(f["min_key"]),
+                None if f.get("max_key") is None else str(f["max_key"]),
+            )
+            for f in snap.files
+        ]
+        ddl = (
+            "path string, bucket long, schema_id long, ord long, rows long, "
+            "bytes long, delta boolean, min_key string, max_key string"
+        )
+        return self.spark.createDataFrame(rows, ddl)
+
+    def inspect_schemas(self) -> DataFrame:
+        """Every schema version ever committed, one row per (version,
+        column): the evolution audit trail — shows adds, renames (same id,
+        new name), promotions (same id, new type) and drops (id absent from
+        later versions)."""
+        head = self.snapshot()
+        rows = [
+            (sid, c["id"], c["name"], c["type"])
+            for sid, s in sorted(head.schemas.items())
+            for c in s.columns
+        ]
+        ddl = "schema_id long, column_id long, name string, type string"
+        return self.spark.createDataFrame(rows, ddl)
+
     # ---- scan (time travel + rename-by-id + bucket pruning) --------------
 
     def bucket_expr(self, df_or_cols: Any = None) -> F.Column:

@@ -855,3 +855,66 @@ def test_restore_refuses_legacy_inline_snapshot(spark, tmp_path):
     with _pytest.raises(ValueError, match="legacy"):
         v2.restore(good)
     assert v2.scan().count() == 3  # head untouched by the refusal
+
+
+def test_inspection_metadata_tables(spark, tmp_path):
+    """inspect_snapshots / inspect_partitions / inspect_files /
+    inspect_schemas answer from table metadata only (no data file reads) and
+    agree with the manifest ground truth, including after schema evolution
+    and at a time-travel snapshot."""
+    v = _mk(spark, tmp_path, [("r1", "a.py", 1, False), ("r2", "b.py", 2, False)])
+    sid1 = v.current_snapshot_id()
+    # evolve in three committed steps: add -> rename -> drop of a scratch
+    # column (each version lands in schema history), plus one data commit
+    sch = v.snapshot().schema.add_column("tmp", "double")
+    wd = v.new_write_dir("more")
+    df = spark.createDataFrame(
+        [("r3", "c.py", 3, False, 1.5)],
+        "repo string, path string, last_seq long, is_deleted boolean, tmp double",
+    )
+    (
+        df.withColumn("__bucket", v.bucket_expr())
+        .repartition(1, "__bucket").write.mode("overwrite")
+        .partitionBy("__bucket").parquet(wd)
+    )
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="b1",
+             manifest={"batch_id": "b1"}, new_schema=sch)
+    v.commit(add_write_dir=None, replace_buckets=[], batch_id="b1r",
+             manifest={"batch_id": "b1r"},
+             new_schema=v.snapshot().schema.rename_column("tmp", "tmp2"))
+    v.commit(add_write_dir=None, replace_buckets=[], batch_id="b2",
+             manifest={"batch_id": "b2"},
+             new_schema=v.snapshot().schema.drop_column("tmp2"))
+
+    snaps = {r["snapshot_id"]: r for r in v.inspect_snapshots().collect()}
+    assert set(snaps) == set(v.snapshot_ids())
+    head = v.snapshot()
+    assert snaps[head.snapshot_id]["total_files"] == len(head.files)
+    assert snaps[head.snapshot_id]["total_rows"] == sum(f["rows"] for f in head.files)
+    assert snaps[min(snaps)]["operation"] == "create"
+
+    parts = v.inspect_partitions().collect()
+    assert sum(r["n_files"] for r in parts) == len(head.files)
+    assert sum(r["rows"] for r in parts) == 3
+    assert all(r["delta_files"] == 0 for r in parts)
+
+    files = v.inspect_files().collect()
+    assert len(files) == len(head.files)
+    assert {f["path"] for f in files} == {f["path"] for f in head.files}
+    assert sum(f["rows"] for f in files) == 3
+    # time travel: the metadata table is snapshot-pinned like scan()
+    old_files = v.inspect_files(sid1).collect()
+    assert len(old_files) == len(v.snapshot(sid1).files)
+    assert sum(f["rows"] for f in old_files) == 2
+
+    sv = v.inspect_schemas().collect()
+    by_version = {}
+    for r in sv:
+        by_version.setdefault(r["schema_id"], {})[r["name"]] = (r["column_id"], r["type"])
+    versions = sorted(by_version)
+    assert any("tmp" in cols for cols in by_version.values())
+    # rename kept the id; drop removed the name from the head version
+    ids = {cols["tmp"][0] for cols in by_version.values() if "tmp" in cols}
+    ids2 = {cols["tmp2"][0] for cols in by_version.values() if "tmp2" in cols}
+    assert ids == ids2  # same column id across the rename
+    assert "tmp2" not in by_version[versions[-1]]
