@@ -1641,6 +1641,168 @@ class LakeVault:
             target_file_rows=target_file_rows,
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict[str, str | F.Column] | str | None = "source",
+        when_matched_delete: str | F.Column | None = None,
+        when_not_matched_insert: bool = True,
+        target_file_rows: int = 2_000_000,
+    ) -> int:
+        """MERGE INTO (Delta's flagship DML, the third row-level primitive
+        next to ``delete``/``update``): join ``source`` to the table on the
+        KEY columns and, per row:
+
+        - matched + ``when_matched_delete`` condition TRUE → row removed
+          (clause precedence: delete wins over update, Delta's first-match
+          rule with the delete clause listed first);
+        - matched (otherwise) → columns replaced per ``when_matched_update``
+          — the sentinel ``"source"`` (default) assigns every shared
+          non-key column from the source row; a dict maps target column →
+          expression over ``t.<col>`` (target) and ``s.<col>`` (source);
+          ``None`` leaves matched rows unchanged;
+        - unmatched source row + ``when_not_matched_insert`` → inserted,
+          each table column taken from the source when present else typed
+          null, all cast to the table schema (never drifts it).
+
+        The join is key-equality by design: it is what makes the bucket
+        scoping exact, so only buckets CONTAINING SOURCE KEYS are
+        COW-rewritten (probe = one map-side aggregation of the source's
+        bucket hashes — O(n_buckets) rows to the driver) and every other
+        bucket carries into the new snapshot by manifest reference. MOR
+        deltas in rewritten buckets fold in the process. At 100 TB the cost
+        is O(source + touched buckets), the same shape as the CDC replay's
+        write-side merge.
+
+        Multiple source rows per key raise (ambiguous merge — SQL MERGE's
+        cardinality violation), checked in the same probe aggregation at no
+        extra pass. Expressions referencing source columns must qualify
+        them (``s.col``); unqualified names resolve to the target.
+
+        Reference analog: the Silver upsert the reference approximates with
+        full-partition overwrite (``02_enrich_events.py:69-74,146``) —
+        here it touches only the buckets the source hits."""
+        snap = self._dml_snapshot()
+        keys = list(self.key_cols)
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks key columns: {missing}")
+        names = snap.schema.names()
+        if isinstance(when_matched_update, str):
+            if when_matched_update != "source":
+                raise ValueError(
+                    "when_matched_update must be a dict, None, or the "
+                    f"sentinel 'source' (got {when_matched_update!r})"
+                )
+            when_matched_update = {
+                c: f"s.{c}" for c in source.columns if c in names and c not in keys
+            }
+        if when_matched_update:
+            unknown = sorted(set(when_matched_update) - set(names))
+            if unknown:
+                raise ValueError(
+                    f"merge assigns columns not in the current schema: {unknown}"
+                )
+            bad = sorted(set(when_matched_update) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"merge cannot reassign key columns: {bad} (a key change "
+                    "is a delete + insert of a different identity)"
+                )
+        # ONE probe pass over the source: per-bucket row count AND key
+        # cardinality — affected buckets and the duplicate-key check from
+        # the same map-side-combined aggregation (O(n_buckets) driver rows).
+        null_key = None
+        for k in keys:
+            e = F.col(k).isNull()
+            null_key = e if null_key is None else (null_key | e)
+        probe = (
+            source.select(*keys, self.bucket_expr().alias("__b"), null_key.alias("__nk"))
+            .groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__nk").cast("long")).alias("nn"),
+                F.countDistinct(*keys).alias("d"),
+            )
+            .collect()
+        )
+        if any(r["nn"] for r in probe):
+            raise ValueError(
+                "merge source has rows with null key columns — a null key "
+                "never matches and cannot identify an insert; filter them out"
+            )
+        if any(r["n"] != r["d"] for r in probe):
+            raise ValueError(
+                "merge source has multiple rows per key (SQL MERGE "
+                "cardinality violation) — deduplicate the source first"
+            )
+        affected = sorted(int(r["__b"]) for r in probe)
+        if not affected:
+            return snap.snapshot_id
+        src_rows = sum(r["n"] for r in probe)
+        bset = set(affected)
+        touched = [f for f in snap.files if f["bucket"] in bset]
+
+        tgt = self.scan(snapshot_id=snap.snapshot_id, buckets=affected)
+        types = {f.name: f.dataType for f in tgt.schema.fields}
+        t = tgt.withColumn("__t", F.lit(1)).alias("t")
+        s = source.withColumn("__s", F.lit(1)).alias("s")
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else (cond & c)
+        j = t.join(s, cond, "full_outer")
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        if when_matched_delete is not None:
+            del_cond = (
+                F.expr(when_matched_delete)
+                if isinstance(when_matched_delete, str)
+                else when_matched_delete
+            )
+            j = j.where(~(matched & F.coalesce(del_cond, F.lit(False))))
+        upd = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in (when_matched_update or {}).items()
+        }
+        if not when_not_matched_insert:
+            j = j.where(F.col("__t").isNotNull())
+        sel = []
+        for c in names:
+            t_c = F.col(f"t.{c}")
+            s_c = (
+                F.col(f"s.{c}") if c in source.columns
+                else F.lit(None)
+            ).cast(types[c])
+            ins = s_c  # unmatched source row: insert image
+            mat = upd[c].cast(types[c]) if c in upd else t_c
+            if c in keys:
+                sel.append(F.coalesce(t_c, F.col(f"s.{c}").cast(types[c])).alias(c))
+            else:
+                sel.append(
+                    F.when(matched, mat)
+                    .when(F.col("__t").isNotNull(), t_c)
+                    .otherwise(ins)
+                    .alias(c)
+                )
+        out = j.select(*sel)
+        return self._rewrite_buckets(
+            out,
+            affected,
+            sum(f["rows"] for f in touched) + src_rows,
+            "merge",
+            {
+                "operation": "merge",
+                "buckets": affected,
+                "source_rows": int(src_rows),
+                "matched_update": sorted(upd) if upd else [],
+                "matched_delete": when_matched_delete is not None,
+                "not_matched_insert": bool(when_not_matched_insert),
+            },
+            base_snapshot_id=snap.snapshot_id,
+            target_file_rows=target_file_rows,
+        )
+
     def restore(self, snapshot_id: int) -> int:
         """Roll the table back to a prior snapshot's CONTENT by committing a
         NEW snapshot that carries that snapshot's manifest refs, schema and

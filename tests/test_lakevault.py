@@ -918,3 +918,148 @@ def test_inspection_metadata_tables(spark, tmp_path):
     ids2 = {cols["tmp2"][0] for cols in by_version.values() if "tmp2" in cols}
     assert ids == ids2  # same column id across the rename
     assert "tmp2" not in by_version[versions[-1]]
+
+
+def _mk_merge_tbl(spark, tmp_path, name="mtbl"):
+    root = str(tmp_path / name)
+    v = LakeVault.create(
+        spark, root,
+        [("repo", "string"), ("path", "string"), ("last_seq", "long"),
+         ("lang", "string"), ("score", "double")],
+        key_cols=("repo", "path"), n_buckets=8,
+    )
+    rows = [(f"r{i % 4}", f"f{i}.py", i, "python", float(i)) for i in range(40)]
+    wd = v.new_write_dir("seed")
+    df = spark.createDataFrame(
+        rows, "repo string, path string, last_seq long, lang string, score double"
+    )
+    (
+        df.withColumn("__bucket", v.bucket_expr())
+        .repartition(4, "__bucket").write.mode("overwrite")
+        .partitionBy("__bucket").parquet(wd)
+    )
+    v.commit(add_write_dir=wd, replace_buckets=None, batch_id="seed",
+             manifest={"batch_id": "seed"})
+    return v, {(r[0], r[1]): r for r in rows}
+
+
+def test_merge_upsert_default(spark, tmp_path):
+    """Default MERGE = upsert: matched rows take every shared non-key column
+    from the source, unmatched source rows insert (missing columns typed
+    null), untouched buckets carry by manifest reference (file identity)."""
+    v, base = _mk_merge_tbl(spark, tmp_path)
+    before_files = {f["path"]: f for f in v.snapshot().files}
+    src = spark.createDataFrame(
+        [("r0", "f0.py", 100, 9.5), ("r9", "new.py", 101, 1.0)],
+        "repo string, path string, last_seq long, score double",
+    )  # no 'lang' column: update leaves it, insert null-backfills it
+    v.merge(src)
+    got = {(r["repo"], r["path"]): r for r in v.scan().collect()}
+    assert len(got) == 41
+    u = got[("r0", "f0.py")]
+    assert (u["last_seq"], u["score"], u["lang"]) == (100, 9.5, "python")
+    i = got[("r9", "new.py")]
+    assert (i["last_seq"], i["score"], i["lang"]) == (101, 1.0, None)
+    # every other row unchanged
+    for k, r in base.items():
+        if k in (("r0", "f0.py"),):
+            continue
+        assert (got[k]["last_seq"], got[k]["score"]) == (r[2], r[4])
+    # bucket scoping: files of buckets the source never touched are the
+    # SAME file entries (carried by reference, not rewritten)
+    src_buckets = {
+        r["__b"] for r in src.select(v.bucket_expr().alias("__b")).distinct().collect()
+    }
+    after_files = {f["path"]: f for f in v.snapshot().files}
+    for p, f in before_files.items():
+        if f["bucket"] not in src_buckets:
+            assert p in after_files, f"untouched bucket {f['bucket']} was rewritten"
+
+
+def test_merge_expressions_and_delete_clause(spark, tmp_path):
+    """Expression assignments see both sides (t./s.); the delete clause wins
+    over update on the rows it matches; insert can be disabled."""
+    v, _ = _mk_merge_tbl(spark, tmp_path, "mtbl2")
+    src = spark.createDataFrame(
+        [("r0", "f0.py", 1.0), ("r1", "f1.py", 2.0), ("r9", "ghost.py", 3.0)],
+        "repo string, path string, bump double",
+    )
+    v.merge(
+        src,
+        when_matched_update={"score": "t.score + s.bump", "lang": "'merged'"},
+        when_matched_delete="s.bump > 1.5",
+        when_not_matched_insert=False,
+    )
+    got = {(r["repo"], r["path"]): r for r in v.scan().collect()}
+    assert ("r9", "ghost.py") not in got          # insert disabled
+    assert ("r1", "f1.py") not in got             # delete clause (bump 2.0)
+    assert got[("r0", "f0.py")]["score"] == 1.0   # 0.0 + 1.0
+    assert got[("r0", "f0.py")]["lang"] == "merged"
+    assert len(got) == 39
+
+
+def test_merge_guards(spark, tmp_path):
+    """Cardinality violation, null keys, key reassignment, unknown columns
+    and bad sentinel all raise before any write."""
+    import pytest
+
+    v, _ = _mk_merge_tbl(spark, tmp_path, "mtbl3")
+    sid = v.current_snapshot_id()
+    dup = spark.createDataFrame(
+        [("r0", "f0.py", 1.0), ("r0", "f0.py", 2.0)],
+        "repo string, path string, score double",
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        v.merge(dup)
+    nk = spark.createDataFrame(
+        [(None, "f0.py", 1.0)], "repo string, path string, score double"
+    )
+    with pytest.raises(ValueError, match="null key"):
+        v.merge(nk)
+    ok = spark.createDataFrame(
+        [("r0", "f0.py", 1.0)], "repo string, path string, score double"
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        v.merge(ok, when_matched_update={"repo": "'x'"})
+    with pytest.raises(ValueError, match="not in the current schema"):
+        v.merge(ok, when_matched_update={"nope": "1"})
+    with pytest.raises(ValueError, match="sentinel"):
+        v.merge(ok, when_matched_update="all")
+    missing = spark.createDataFrame([(1.0,)], "score double")
+    with pytest.raises(ValueError, match="lacks key columns"):
+        v.merge(missing)
+    assert v.current_snapshot_id() == sid  # nothing committed
+
+
+def test_merge_empty_source_noop(spark, tmp_path):
+    v, _ = _mk_merge_tbl(spark, tmp_path, "mtbl4")
+    sid = v.current_snapshot_id()
+    empty = spark.createDataFrame([], "repo string, path string, score double")
+    assert v.merge(empty) == sid
+
+
+def test_merge_folds_mor_deltas(spark, tmp_path):
+    """A merge into buckets carrying MOR delta files folds them: the rewrite
+    reads the LWW view and the committed bucket has no deltas left."""
+    v, _ = _mk_merge_tbl(spark, tmp_path, "mtbl5")
+    delta = spark.createDataFrame(
+        [("r0", "f0.py", 50, "go", 7.0)],
+        "repo string, path string, last_seq long, lang string, score double",
+    )
+    _commit_df(spark, v, delta, "d1", replace_buckets=[], delta=True)
+    assert any(f.get("delta") for f in v.snapshot().files)
+    src = spark.createDataFrame(
+        [("r0", "f0.py", 99, 0.5)],
+        "repo string, path string, last_seq long, score double",
+    )
+    v.merge(src)
+    got = {(r["repo"], r["path"]): r for r in v.scan().collect()}
+    u = got[("r0", "f0.py")]
+    # merge saw the post-delta LWW row (lang 'go') and updated seq/score
+    assert (u["last_seq"], u["lang"], u["score"]) == (99, "go", 0.5)
+    src_buckets = {
+        r["__b"] for r in src.select(v.bucket_expr().alias("__b")).distinct().collect()
+    }
+    assert not any(
+        f.get("delta") for f in v.snapshot().files if f["bucket"] in src_buckets
+    )
