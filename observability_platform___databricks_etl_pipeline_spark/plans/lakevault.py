@@ -389,11 +389,26 @@ class CommitConflict(RuntimeError):
 class LakeVault:
     """One copy-on-write table. Key columns define the merge identity."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str | None = None):
         self.spark = spark
         self.root = root
         self.vault_dir = os.path.join(root, "_vault")
         self.data_dir = os.path.join(root, "data")
+        # Branch handle (Iceberg branching / the write-audit-publish flow):
+        # a branch is a SNAPSHOT-NAMESPACE overlay — its snapshot files and
+        # version hint live under _vault/branches/<name>/ while data files,
+        # manifests, batch-log segments and lineage manifests stay SHARED
+        # with main (every path a snapshot references is vault_dir-relative
+        # and nonce'd, so writers in different namespaces never collide).
+        # Branch snapshot ids CONTINUE main's numbering from the fork point,
+        # which is what makes publish_branch a pure metadata fast-forward:
+        # the branch chain fork+1..head is already a valid main chain.
+        self.branch_name = branch
+        self._ns_dir = (
+            os.path.join(self.vault_dir, "branches", branch)
+            if branch
+            else self.vault_dir
+        )
 
     # ---- lifecycle -------------------------------------------------------
 
@@ -443,7 +458,16 @@ class LakeVault:
     # ---- metadata --------------------------------------------------------
 
     def _snap_path(self, sid: int) -> str:
-        return os.path.join(self.vault_dir, "snapshots", f"snap-{sid}.json")
+        """WRITE/CLAIM path for a snapshot in THIS handle's namespace."""
+        return os.path.join(self._ns_dir, "snapshots", f"snap-{sid}.json")
+
+    def _snap_read_path(self, sid: int) -> str:
+        """READ path: a branch resolves ids at or below its fork point from
+        the main namespace (the fork's history is shared, not copied)."""
+        p = self._snap_path(sid)
+        if self.branch_name and not os.path.exists(p):
+            return os.path.join(self.vault_dir, "snapshots", f"snap-{sid}.json")
+        return p
 
     @property
     def table_meta(self) -> dict[str, Any]:
@@ -473,7 +497,7 @@ class LakeVault:
         pointer does not mention yet — every reader/writer rolls forward
         over it (the loop is O(crashed writers), i.e. almost always zero
         iterations). Only commit() advances the pointer file itself."""
-        with open(os.path.join(self.vault_dir, "version.json")) as f:
+        with open(os.path.join(self._ns_dir, "version.json")) as f:
             sid = json.load(f)["snapshot_id"]
         while os.path.exists(self._snap_path(sid + 1)):
             sid += 1
@@ -486,23 +510,25 @@ class LakeVault:
         deleted the snapshot the stale hint names — roll-forward cannot walk
         a hole, so a regressed hint would brick every read)."""
         try:
-            with open(os.path.join(self.vault_dir, "version.json")) as f:
+            with open(os.path.join(self._ns_dir, "version.json")) as f:
                 if json.load(f)["snapshot_id"] >= sid:
                     return
         except (OSError, ValueError, KeyError):
             pass
         _atomic_write_json(
-            os.path.join(self.vault_dir, "version.json"), {"snapshot_id": sid}
+            os.path.join(self._ns_dir, "version.json"), {"snapshot_id": sid}
         )
 
     def snapshot(self, sid: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if sid is None else sid
-        with open(self._snap_path(sid)) as f:
+        with open(self._snap_read_path(sid)) as f:
             return Snapshot.from_json(json.load(f), vault_dir=self.vault_dir)
 
-    def snapshot_ids(self) -> list[int]:
-        d = os.path.join(self.vault_dir, "snapshots")
+    @staticmethod
+    def _list_snap_ids(d: str) -> list[int]:
         out: list[int] = []
+        if not os.path.isdir(d):
+            return out
         for f in os.listdir(d):
             # tolerate stray temps (crashed pre-CAS writers): only complete
             # snap-<N>.json names count
@@ -513,6 +539,16 @@ class LakeVault:
                     continue
         return sorted(out)
 
+    def snapshot_ids(self) -> list[int]:
+        own = self._list_snap_ids(os.path.join(self._ns_dir, "snapshots"))
+        if self.branch_name:
+            # shared pre-fork history + branch-local ids; a branch id
+            # overrides nothing (namespaces are disjoint above the fork)
+            fork = self._branch_meta["forked_at"]
+            main = self._list_snap_ids(os.path.join(self.vault_dir, "snapshots"))
+            return sorted(set(s for s in main if s <= fork) | set(own))
+        return own
+
     def committed_batches(self) -> set[str]:
         return set(self.snapshot().committed_batches)
 
@@ -522,6 +558,151 @@ class LakeVault:
             return None
         with open(p) as f:
             return json.load(f)
+
+    # ---- branches & tags (write-audit-publish) ---------------------------
+    # Iceberg's branching/tagging surface (refs), built on the namespace
+    # overlay described in __init__. The canonical WAP flow:
+    #
+    #     vault.create_branch("audit")
+    #     staged = vault.branch("audit")         # full LakeVault handle
+    #     ... commit/replay/DML through `staged` — main readers see nothing
+    #     ... audit queries over staged.scan() / staged.scan_changes(fork, head)
+    #     vault.publish_branch("audit")          # atomic metadata fast-forward
+    #
+    # Publish is O(branch commits) metadata CAS ops and ZERO data movement;
+    # a publish that races a main commit fails with CommitConflict exactly
+    # like Iceberg's fast-forward (re-stage or rebase by re-replaying the
+    # batches on a fresh branch). Reference analog: the notebooks validate
+    # AFTER writing to the live table (02_enrich_events.py quality checks run
+    # post-append) — WAP moves the audit BEFORE visibility.
+
+    @property
+    def _branch_meta(self) -> dict[str, Any]:
+        with open(os.path.join(self._ns_dir, "branch.json")) as f:
+            return json.load(f)
+
+    def create_branch(self, name: str, at: int | None = None) -> "LakeVault":
+        """Fork a branch at snapshot ``at`` (default: current main head) and
+        return its handle. Main-handle only; branch names are flat."""
+        if self.branch_name:
+            raise ValueError("create_branch from the main handle only")
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        bdir = os.path.join(self.vault_dir, "branches", name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        fork = self.current_snapshot_id() if at is None else at
+        # fail fast on a dangling fork point
+        with open(self._snap_read_path(fork)):
+            pass
+        os.makedirs(os.path.join(bdir, "snapshots"), exist_ok=True)
+        _atomic_write_json(os.path.join(bdir, "branch.json"), {"forked_at": fork})
+        _atomic_write_json(os.path.join(bdir, "version.json"), {"snapshot_id": fork})
+        return self.branch(name)
+
+    def branch(self, name: str) -> "LakeVault":
+        """Handle for an existing branch (same table, branch namespace)."""
+        b = LakeVault(self.spark, self.root, branch=name)
+        if not os.path.exists(os.path.join(b._ns_dir, "version.json")):
+            raise FileNotFoundError(f"no branch {name!r} at {self.root}")
+        return b
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.vault_dir, "branches")
+        return sorted(n for n in os.listdir(d)) if os.path.isdir(d) else []
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's metadata namespace. Data files only the branch
+        referenced become orphans that the next ``expire_snapshots`` sweeps
+        (they are no longer in any retained ref's live set)."""
+        if self.branch_name:
+            raise ValueError("drop_branch from the main handle only")
+        bdir = os.path.join(self.vault_dir, "branches", name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r} at {self.root}")
+        shutil.rmtree(bdir)
+
+    def publish_branch(self, name: str, drop: bool = True) -> int:
+        """Fast-forward main to the branch head — the WAP publish step.
+
+        Because branch ids continue main's numbering from the fork, the
+        branch chain fork+1..head is verbatim a valid main chain: publish
+        CAS-claims each branch snapshot file into the main namespace in
+        order. Each claimed prefix is a complete, consistent main state, so
+        a crash mid-publish is resumable by re-calling publish (an already
+        claimed id with IDENTICAL content is skipped). If main advanced
+        past the fork (some other writer committed), the first CAS meets a
+        DIFFERENT snapshot and raises ``CommitConflict`` — nothing is
+        partially merged, matching Iceberg's fast-forward-only contract.
+        Exactly-once survives publication: branch commits appended their
+        batch ids to the shared batch log, so the published head's log
+        makes any replayed batch a no-op on main too."""
+        if self.branch_name:
+            raise ValueError("publish_branch from the main handle only")
+        b = self.branch(name)
+        fork = b._branch_meta["forked_at"]
+        head = b.current_snapshot_id()
+        if head == fork:
+            if drop:
+                self.drop_branch(name)
+            return self.current_snapshot_id()
+        for sid in range(fork + 1, head + 1):
+            with open(b._snap_path(sid)) as f:
+                content = json.load(f)
+            if _atomic_claim_json(self._snap_path(sid), content):
+                continue
+            with open(self._snap_path(sid)) as f:
+                existing = json.load(f)
+            if existing == content:
+                continue  # our own prior (crashed) publish claimed it
+            raise CommitConflict(
+                f"cannot publish branch {name!r}: main advanced past the "
+                f"fork point {fork} (snapshot {sid} differs) — re-stage "
+                f"the branch on the current head and retry"
+            )
+        self._refresh_version_hint(head)
+        if drop:
+            self.drop_branch(name)
+        return head
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named immutable ref to a snapshot (Iceberg tag). Tagged snapshots
+        and their files are retained by ``expire_snapshots`` until the tag
+        is dropped."""
+        if self.branch_name:
+            raise ValueError("create_tag from the main handle only")
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(self._snap_read_path(sid)):
+            pass
+        p = os.path.join(self.vault_dir, "refs", f"tag-{name}.json")
+        if os.path.exists(p):
+            raise ValueError(f"tag {name!r} already exists")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        _atomic_write_json(p, {"snapshot_id": sid})
+        return sid
+
+    def resolve_tag(self, name: str) -> int:
+        p = os.path.join(self.vault_dir, "refs", f"tag-{name}.json")
+        with open(p) as f:
+            return json.load(f)["snapshot_id"]
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.vault_dir, "refs")
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                if fn.startswith("tag-") and fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[4 : -len(".json")]] = json.load(f)["snapshot_id"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self.vault_dir, "refs", f"tag-{name}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no tag {name!r} at {self.root}")
+        os.remove(p)
 
     # ---- inspection (metadata tables) -------------------------------------
     # Iceberg `table$snapshots` / `table$files` / Delta DESCRIBE HISTORY and
@@ -1897,6 +2078,12 @@ class LakeVault:
         every expired snapshot's file list has been enumerated — deleting
         while walking breaks later ``.files`` loads mid-expiry and leaks the
         data files the broken snapshot referenced."""
+        if self.branch_name:
+            raise ValueError(
+                "expire_snapshots runs on the main handle only (it reasons "
+                "over GLOBAL file liveness; branch lifecycle is "
+                "create/publish/drop)"
+            )
         ids = self.snapshot_ids()
         head = self.current_snapshot_id()
         # catch the hint up to the head BEFORE deleting anything: a stale
@@ -1904,6 +2091,18 @@ class LakeVault:
         # the retained window would leave roll-forward facing a hole
         self._refresh_version_hint(head)
         keep = set(ids[-keep_last:]) | {head}
+        # named refs pin snapshots past the keep_last window: every tagged
+        # snapshot, and every live branch's FORK-POINT snapshot (the branch
+        # head resolves against it until the branch's first commit, and its
+        # roll-forward starts there)
+        keep.update(s for s in self.tags().values() if s in ids)
+        for bname in self.branches():
+            try:
+                fork = self.branch(bname)._branch_meta["forked_at"]
+            except (OSError, KeyError, ValueError):
+                continue
+            if fork in ids:
+                keep.add(fork)
         expired_ids = [sid for sid in ids if sid not in keep]
         # pass 1: enumerate everything while all manifests still exist
         live_files: set[str] = set()
@@ -1914,6 +2113,16 @@ class LakeVault:
             live_manifests.update(r["path"] for r in snap.manifest_refs)
             live_segs.update(s["path"] for s in snap.batch_log)
             live_files.update(f["path"] for f in snap.files)
+        # every snapshot of every live branch is a retained ref too: its
+        # manifests/segments/files must survive main's GC (branch metadata
+        # itself is never deleted here — drop_branch owns that)
+        for bname in self.branches():
+            b = self.branch(bname)
+            for bsid in self._list_snap_ids(os.path.join(b._ns_dir, "snapshots")):
+                snap = b.snapshot(bsid)
+                live_manifests.update(r["path"] for r in snap.manifest_refs)
+                live_segs.update(s["path"] for s in snap.batch_log)
+                live_files.update(f["path"] for f in snap.files)
         dead_files: set[str] = set()
         dead_manifests: set[str] = set()
         for sid in expired_ids:
@@ -1987,7 +2196,10 @@ class LakeVault:
         # crash temps: a writer SIGKILLed inside an atomic write/claim leaves
         # its temp file behind (``.claim-*`` in snapshots/, ``*.tmp.*``
         # anywhere) — referenced by nothing, swept once past the grace
-        for sub in ("", "snapshots", "batchlog", "filelists", "manifests"):
+        temp_dirs = ["", "snapshots", "batchlog", "filelists", "manifests"] + [
+            os.path.join("branches", b, "snapshots") for b in self.branches()
+        ]
+        for sub in temp_dirs:
             d = os.path.join(self.vault_dir, sub)
             if not os.path.isdir(d):
                 continue

@@ -155,10 +155,18 @@ class CDCEngine:
         merge_strategy: str | None = None,
         write_mode: str | None = None,
         mor_compact_threshold: int | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = table_root
         self.with_rollup = with_rollup
+        # Write-audit-publish: an engine constructed with branch="x" replays
+        # into that branch's snapshot namespace — main readers see nothing
+        # until LakeVault.publish_branch("x") fast-forwards main (see
+        # lakevault.py "branches & tags"). The branch must already exist
+        # (vault.create_branch). Quarantine output is branch-scoped so a
+        # dropped branch doesn't leave its rejects in the main diagnostics.
+        self.branch = branch
         # MOR auto-compact policy: after a commit, any bucket holding more
         # than this many DELTA files is folded back into base files via a
         # bucket-scoped compact() — so read-side merge cost stays bounded
@@ -196,9 +204,19 @@ class CDCEngine:
             self.vault = LakeVault.create(
                 spark, table_root, BASE_COLUMNS, key_cols=("repo", "path"), n_buckets=n_buckets
             )
-        self.quarantine_dir = os.path.join(table_root, "quarantine")
+        if branch is not None:
+            self.vault = self.vault.branch(branch)
+        self.quarantine_dir = os.path.join(
+            table_root, "quarantine" if branch is None else f"quarantine-branch-{branch}"
+        )
         self.metrics_dir = os.path.join(table_root, "ingest_metrics")
-        self.checkpoint_path = os.path.join(table_root, "_vault", "checkpoints.json")
+        # informational fast-resume hint (exactly-once truth lives in the
+        # batch log); branch-scoped so a staged replay never clobbers main's
+        self.checkpoint_path = os.path.join(
+            table_root,
+            "_vault",
+            "checkpoints.json" if branch is None else f"checkpoints-branch-{branch}.json",
+        )
         # cumulative wall-clock per replay phase across this engine's life —
         # always collected (a dict update per phase), printed per-batch only
         # under CDC_TIMING=1, and exported by bench.py so an outlier replay
@@ -464,6 +482,13 @@ class CDCEngine:
         removed = self.vault.expire_snapshots(keep_last=keep_last)
         batches = self.vault.snapshot().committed_batches  # commit order
         keep = set(batches[-keep_side_batches:]) if keep_side_batches > 0 else set(batches)
+        # batches staged on LIVE branches are committed state too (their
+        # branch's log has them; publish carries them to main): their side
+        # data and lineage manifests must survive main's retention sweep
+        staged: set[str] = set()
+        for bname in self.vault.branches():
+            staged |= set(self.vault.branch(bname).snapshot().committed_batches)
+        keep |= staged
         expired_bids = [b for b in batches if b not in keep]
         for d in (self.quarantine_dir, self.metrics_dir):
             if not os.path.isdir(d):
@@ -473,7 +498,7 @@ class CDCEngine:
                     shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
         mdir = os.path.join(self.vault.vault_dir, "manifests")
         if os.path.isdir(mdir):
-            committed = set(batches)
+            committed = set(batches) | staged
             for fn in os.listdir(mdir):
                 if not fn.endswith(".json") or fn[:-5] in keep:
                     continue
