@@ -156,6 +156,7 @@ class CDCEngine:
         write_mode: str | None = None,
         mor_compact_threshold: int | None = None,
         branch: str | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = table_root
@@ -198,11 +199,23 @@ class CDCEngine:
         self.merge_strategy = (
             merge_strategy or os.environ.get("CDC_MERGE", "maxby")
         )
+        # parquet-native bloom filters for point probes on hash-like columns
+        # (table-creation-time config, lives in table.json; existing tables
+        # keep whatever they were created with). Opt-in: write cost is ~+3%
+        # file bytes + bloom-build CPU per batch. Env: CDC_BLOOM_COLS=commit
+        if bloom_cols is None:
+            env_bloom = os.environ.get("CDC_BLOOM_COLS", "")
+            bloom_cols = [c for c in env_bloom.split(",") if c.strip()] or None
         if LakeVault.exists(table_root):
             self.vault = LakeVault.load(spark, table_root)
         else:
             self.vault = LakeVault.create(
-                spark, table_root, BASE_COLUMNS, key_cols=("repo", "path"), n_buckets=n_buckets
+                spark,
+                table_root,
+                BASE_COLUMNS,
+                key_cols=("repo", "path"),
+                n_buckets=n_buckets,
+                bloom_cols=bloom_cols,
             )
         if branch is not None:
             self.vault = self.vault.branch(branch)
@@ -311,14 +324,17 @@ class CDCEngine:
         self,
         snapshot_id: int | None = None,
         column_ranges: dict | None = None,
+        column_equals: dict | None = None,
     ) -> DataFrame:
         """Live rows of the final-state table (tombstones filtered).
         ``column_ranges={col: (lo, hi)}`` turns on manifest data skipping for
-        the caller's predicate columns (superset guarantee — still apply the
-        row filter; see ``LakeVault.scan``)."""
-        return self.vault.scan(snapshot_id, column_ranges=column_ranges).where(
-            ~F.col("is_deleted")
-        )
+        the caller's predicate columns; ``column_equals={col: v}`` adds
+        bloom-filter file pruning for point probes on bloom-enabled columns
+        (superset guarantees both — still apply the row filter; see
+        ``LakeVault.scan``)."""
+        return self.vault.scan(
+            snapshot_id, column_ranges=column_ranges, column_equals=column_equals
+        ).where(~F.col("is_deleted"))
 
     def lookup(self, repo: str) -> DataFrame:
         """Point lookup of one repo's live files: manifest key-range pruning
@@ -889,10 +905,11 @@ class CDCEngine:
         # is compact()'s job (the Z-order analog runs as maintenance, not on
         # the hot path — sorting the whole table every batch bought nothing)
         shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0)
+        wopts = self.vault.data_write_options()
         if self.merge_strategy == "bucket_pandas":
             # the pandas reduction's output is already hash(__bucket)-
             # partitioned: write directly — this is the shuffle we saved
-            out.write.mode("overwrite").partitionBy("__bucket").parquet(wd)
+            out.write.mode("overwrite").options(**wopts).partitionBy("__bucket").parquet(wd)
         elif shuffle_p and shuffle_p % self.vault.n_buckets == 0:
             # bucket-aligned direct write: the merge agg's exchange is
             # HashPartitioning(repo, path, P) with pid = pmod(murmur3, P),
@@ -901,11 +918,12 @@ class CDCEngine:
             # exactly one bucket (a few adjacent ones after AQE coalesce),
             # so partitionBy lands the same file layout with NO second
             # content shuffle. This halves shuffle bytes per batch.
-            out.write.mode("overwrite").partitionBy("__bucket").parquet(wd)
+            out.write.mode("overwrite").options(**wopts).partitionBy("__bucket").parquet(wd)
         else:
             (
                 out.repartition(n_out, "__bucket")
                 .write.mode("overwrite")
+                .options(**wopts)
                 .partitionBy("__bucket")
                 .parquet(wd)
             )
