@@ -311,35 +311,62 @@ def _block_check(bitset: bytes, h: int) -> bool:
     return True
 
 
-def _plain_encode(value: Any) -> bytes:
-    """Parquet plain encoding of a probe value for hashing (the subset of
-    types the engine's columns use)."""
-    if isinstance(value, str):
+def _plain_encode(value: Any, col_type: str | None) -> bytes:
+    """Parquet PLAIN encoding of a probe value for hashing. The bloom was
+    built over the column's PHYSICAL encoding, so fixed-width numerics must
+    be packed at the file's width: an ``int`` column is INT32 (4 bytes) and
+    a ``float`` column is FLOAT (4 bytes) — hashing 8 bytes for those would
+    be a silent FALSE NEGATIVE (wrongly pruned files). ``col_type`` is the
+    engine schema type of the column IN THE FILE'S schema version (so
+    int→long promoted tables probe old files at 4 bytes and new ones at 8).
+    Unsupported combinations raise TypeError; callers keep the file."""
+    if col_type in ("string", None) and isinstance(value, str):
         return value.encode("utf-8")
     if isinstance(value, bytes):
         return value
     if isinstance(value, bool):
         raise TypeError("bloom probe on boolean columns is pointless")
-    if isinstance(value, int):
+    if col_type == "int" and isinstance(value, int):
+        return struct.pack("<i", value)
+    if col_type == "long" and isinstance(value, int):
         return struct.pack("<q", value)
-    if isinstance(value, float):
+    if col_type == "float" and isinstance(value, float):
+        return struct.pack("<f", value)
+    if col_type == "double" and isinstance(value, float):
         return struct.pack("<d", value)
-    raise TypeError(f"unsupported bloom probe type {type(value).__name__}")
+    raise TypeError(
+        f"unsupported bloom probe: {type(value).__name__} against column type {col_type!r}"
+    )
 
 
-def file_may_contain(path: str, column: str, value: Any) -> bool:
-    """True unless EVERY row group's bloom for ``column`` says the value is
-    definitely absent. Files (or columns) without blooms return True —
-    pruning stays a superset guarantee. Reads bloom bytes only."""
-    offs = bloom_offsets(path).get(column)
-    if not offs:
+def probe_file(path: str, probes: dict[str, tuple[Any, str | None]]) -> bool:
+    """``{physical column → (value, engine type)}`` — True unless some
+    column's blooms say its value is definitely absent from EVERY row group.
+    Files/columns without blooms, unparseable blooms, and unsupported probe
+    types all return True: pruning stays a superset guarantee. One footer
+    parse per file regardless of probe count; reads bloom bytes only."""
+    try:
+        offs_by_col = bloom_offsets(path)
+    except (OSError, ValueError, struct.error, IndexError):
+        return True  # unreadable footer: keep the file
+    if not offs_by_col:
         return True
-    h = xxhash64(_plain_encode(value))
     with open(path, "rb") as f:
-        for off, _ln in offs:
+        for column, (value, col_type) in probes.items():
+            offs = offs_by_col.get(column)
+            if not offs:
+                continue  # no bloom for this column in this file
             try:
-                if _block_check(_read_bitset(f, off), h):
-                    return True
-            except (ValueError, struct.error):
-                return True  # unparseable bloom: keep the file
-    return False
+                h = xxhash64(_plain_encode(value, col_type))
+                if not any(_block_check(_read_bitset(f, off), h) for off, _ln in offs):
+                    return False  # definitely absent in every row group
+            except (ValueError, TypeError, struct.error, IndexError, OSError):
+                continue  # unparseable/unsupported: this probe can't prune
+    return True
+
+
+def file_may_contain(
+    path: str, column: str, value: Any, col_type: str | None = None
+) -> bool:
+    """Single-column convenience wrapper over ``probe_file``."""
+    return probe_file(path, {column: (value, col_type)})

@@ -626,56 +626,92 @@ class LakeVault:
     def drop_branch(self, name: str) -> None:
         """Delete a branch's metadata namespace. Data files only the branch
         referenced become orphans that the next ``expire_snapshots`` sweeps
-        (they are no longer in any retained ref's live set)."""
+        (they are no longer in any retained ref's live set). The engine's
+        branch-scoped side state (quarantine rejects, the checkpoint hint —
+        written by ``CDCEngine(branch=...)`` under well-known names) goes
+        with it: nothing sweeps those paths otherwise."""
         if self.branch_name:
             raise ValueError("drop_branch from the main handle only")
         bdir = os.path.join(self.vault_dir, "branches", name)
         if not os.path.isdir(bdir):
             raise FileNotFoundError(f"no branch {name!r} at {self.root}")
         shutil.rmtree(bdir)
+        shutil.rmtree(
+            os.path.join(self.root, f"quarantine-branch-{name}"), ignore_errors=True
+        )
+        try:
+            os.remove(os.path.join(self.vault_dir, f"checkpoints-branch-{name}.json"))
+        except OSError:
+            pass
 
     def publish_branch(self, name: str, drop: bool = True) -> int:
-        """Fast-forward main to the branch head — the WAP publish step.
+        """Make the branch head visible on main — the WAP publish step.
 
-        Because branch ids continue main's numbering from the fork, the
-        branch chain fork+1..head is verbatim a valid main chain: publish
-        CAS-claims each branch snapshot file into the main namespace in
-        order. Each claimed prefix is a complete, consistent main state, so
-        a crash mid-publish is resumable by re-calling publish (an already
-        claimed id with IDENTICAL content is skipped). If main advanced
-        past the fork (some other writer committed), the first CAS meets a
-        DIFFERENT snapshot and raises ``CommitConflict`` — nothing is
-        partially merged, matching Iceberg's fast-forward-only contract.
-        Exactly-once survives publication: branch commits appended their
-        batch ids to the shared batch log, so the published head's log
-        makes any replayed batch a no-op on main too."""
+        Publish is ONE new main snapshot at fork+1 carrying the branch
+        head's manifest refs, schema, bucket count and batch log (the
+        staged commits squash into a single published commit, like
+        Iceberg's cherry-pick of a staged WAP snapshot; the granular
+        staged history stays time-travelable on the branch until it is
+        dropped). The single snapshot CAS is the entire commit point, so
+        publication is ATOMIC: a main commit that raced past the fork wins
+        the claim and publish raises ``CommitConflict`` with nothing
+        partially merged — re-stage on the new head and retry. (The
+        earlier chain-copy design claimed each staged snapshot in order,
+        which could strand a PREFIX on main when a racing writer claimed
+        the next id mid-walk.)
+
+        Idempotent under crash-retry: if our identical publish snapshot
+        already holds fork+1 (a prior call crashed after its CAS), the
+        claim failure is recognized by content equality and the call
+        completes. Exactly-once survives publication: the staged batch ids
+        ride the branch's batch log into the published snapshot, so
+        replaying a published chunk on main is a no-op."""
         if self.branch_name:
             raise ValueError("publish_branch from the main handle only")
         b = self.branch(name)
         fork = b._branch_meta["forked_at"]
-        head = b.current_snapshot_id()
-        if head == fork:
+        head_b = b.current_snapshot_id()
+        if head_b == fork:
             if drop:
                 self.drop_branch(name)
             return self.current_snapshot_id()
-        for sid in range(fork + 1, head + 1):
-            with open(b._snap_path(sid)) as f:
-                content = json.load(f)
-            if _atomic_claim_json(self._snap_path(sid), content):
-                continue
-            with open(self._snap_path(sid)) as f:
+        bh = b.snapshot(head_b)
+        new_id = fork + 1
+        snap = Snapshot(
+            snapshot_id=new_id,
+            parent_id=fork,
+            schema=bh.schema,
+            schemas=dict(bh.schemas),
+            manifest_refs=list(bh.manifest_refs),
+            batch_log=list(bh.batch_log),
+            n_buckets=bh.n_buckets,
+            summary={
+                "operation": "publish",
+                "branch": name,
+                "published_from": head_b,
+                "staged_commits": head_b - fork,
+                "added_files": 0,
+                "added_bytes": 0,
+                "total_files": sum(r["n_files"] for r in bh.manifest_refs),
+                "total_rows": sum(r["rows"] for r in bh.manifest_refs),
+            },
+            vault_dir=self.vault_dir,
+        )
+        content = snap.to_json()
+        if not _atomic_claim_json(self._snap_path(new_id), content):
+            with open(self._snap_path(new_id)) as f:
                 existing = json.load(f)
-            if existing == content:
-                continue  # our own prior (crashed) publish claimed it
-            raise CommitConflict(
-                f"cannot publish branch {name!r}: main advanced past the "
-                f"fork point {fork} (snapshot {sid} differs) — re-stage "
-                f"the branch on the current head and retry"
-            )
-        self._refresh_version_hint(head)
+            if existing != content:
+                raise CommitConflict(
+                    f"cannot publish branch {name!r}: main advanced past the "
+                    f"fork point {fork} — re-stage the branch on the current "
+                    f"head and retry"
+                )
+            # else: our own prior (crashed) publish already claimed it
+        self._refresh_version_hint(new_id)
         if drop:
             self.drop_branch(name)
-        return head
+        return new_id
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Named immutable ref to a snapshot (Iceberg tag). Tagged snapshots
@@ -689,10 +725,12 @@ class LakeVault:
         with open(self._snap_read_path(sid)):
             pass
         p = os.path.join(self.vault_dir, "refs", f"tag-{name}.json")
-        if os.path.exists(p):
-            raise ValueError(f"tag {name!r} already exists")
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        _atomic_write_json(p, {"snapshot_id": sid})
+        # CAS, not exists+write: two concurrent create_tag("v1") calls must
+        # not both "succeed" with the loser's pin silently overwritten (the
+        # next expire would delete the snapshot the loser believed immutable)
+        if not _atomic_claim_json(p, {"snapshot_id": sid}):
+            raise ValueError(f"tag {name!r} already exists")
         return sid
 
     def resolve_tag(self, name: str) -> int:
@@ -954,24 +992,24 @@ class LakeVault:
             and len(files) <= _BLOOM_PRUNE_MAX_FILES
             and not any(f.get("delta") for f in files)
         ):
-            from observability_platform___databricks_etl_pipeline_spark.plans.bloom import file_may_contain
+            from observability_platform___databricks_etl_pipeline_spark.plans.bloom import probe_file
 
             cur_by_name = {c["name"]: c["id"] for c in cur.columns}
 
             def _bloom_keeps(f: dict[str, Any]) -> bool:
-                old_by_id = {c["id"]: c["name"] for c in snap.schemas[f["schema_id"]].columns}
+                # physical name AND type come from the file's own schema
+                # version: renames keep probing, and an int→long promoted
+                # column hashes 4 bytes against old files, 8 against new
+                old_by_id = {c["id"]: c for c in snap.schemas[f["schema_id"]].columns}
+                probes: dict[str, tuple[Any, str | None]] = {}
                 for col, v in column_equals.items():
                     if v is None:
                         continue  # null probe: bloom can't answer, keep
-                    phys = old_by_id.get(cur_by_name[col])
-                    if phys is None:
+                    oc = old_by_id.get(cur_by_name[col])
+                    if oc is None:
                         return False  # column added after this file: all-null
-                    try:
-                        if not file_may_contain(os.path.join(self.root, f["path"]), phys, v):
-                            return False
-                    except (OSError, ValueError, TypeError):
-                        return True  # unreadable/unsupported: keep
-                return True
+                    probes[oc["name"]] = (v, oc.get("type"))
+                return not probes or probe_file(os.path.join(self.root, f["path"]), probes)
 
             files = [f for f in files if _bloom_keeps(f)]
         if not files:
@@ -1516,7 +1554,7 @@ class LakeVault:
 
             new_id = parent.snapshot_id + 1
             nonce = uuid.uuid4().hex[:8]
-            tag = f"{new_id}-{nonce}"
+            tag = f"{self._attempt_token(new_id)}-{nonce}"
             os.makedirs(os.path.join(self.vault_dir, "filelists"), exist_ok=True)
             kept_refs = self._kept_refs(parent, replace_buckets, replace_all, tag)
 
@@ -1600,10 +1638,19 @@ class LakeVault:
         except OSError:
             pass
 
+    def _attempt_token(self, new_id: int) -> str:
+        """Attempt id as encoded in staging-dir / metadata file names:
+        ``<id>`` on main, ``<branch>.<id>`` on a branch — the namespace must
+        travel with the id, or expire()'s "attempt above the current head ⇒
+        possibly in-flight" guard would compare a branch-local id against
+        MAIN's head and sweep a live branch writer's staging dir."""
+        return f"{self.branch_name}.{new_id}" if self.branch_name else str(new_id)
+
     def new_write_dir(self, tag: str) -> str:
         """Unique staging dir for a snapshot attempt's data files."""
         d = os.path.join(
-            self.data_dir, f"w-{self.current_snapshot_id() + 1}-{tag}-{int(time.time_ns())}"
+            self.data_dir,
+            f"w-{self._attempt_token(self.current_snapshot_id() + 1)}-{tag}-{int(time.time_ns())}",
         )
         os.makedirs(d, exist_ok=True)
         return d
@@ -2249,6 +2296,26 @@ class LakeVault:
         # than the grace window is skipped until it has verifiably gone
         # quiet.
         live_meta = live_manifests | live_segs
+        # attempt-token liveness, namespace-aware: '<id>' compares against
+        # MAIN's head; '<branch>.<id>' against that branch's head (a live
+        # branch writer stages for branch_head+1, which can be far below
+        # main's numbering — comparing it to main would sweep an in-flight
+        # write). A dropped branch has no head: nothing of its can be
+        # in-flight beyond the grace window.
+        branch_heads = {b: self.branch(b).current_snapshot_id() for b in self.branches()}
+
+        def _maybe_inflight(token: str) -> bool | None:
+            """True: possibly in-flight (never sweep). False: dead attempt.
+            None: unparseable (caller's legacy policy applies)."""
+            name, dot, att = token.partition(".")
+            try:
+                if dot:
+                    head = branch_heads.get(name)
+                    return head is not None and int(att) > head
+                return int(token) > cur
+            except ValueError:
+                return None
+
         for sub in ("batchlog", "filelists"):
             d = os.path.join(self.vault_dir, sub)
             if not os.path.isdir(d):
@@ -2258,17 +2325,14 @@ class LakeVault:
                 if rel in live_meta or not fn.endswith(".json"):
                     continue
                 parts = fn[: -len(".json")].split("-")
-                try:
-                    if fn.startswith("seg-"):
-                        # seg-<idx>-<snapshot_id>-<nonce>; legacy seg-<idx>
-                        # has no attempt id (grace window alone applies)
-                        attempt = int(parts[2]) if len(parts) >= 3 else None
-                    else:
-                        # fl-<snapshot_id>-... (nonce'd and legacy alike)
-                        attempt = int(parts[1])
-                except (IndexError, ValueError):
-                    attempt = None
-                if attempt is not None and attempt > cur:
+                if fn.startswith("seg-"):
+                    # seg-<idx>-<token>-<nonce>; legacy seg-<idx> has no
+                    # attempt token (grace window alone applies)
+                    token = parts[2] if len(parts) >= 3 else ""
+                else:
+                    # fl-<token>-... (nonce'd and legacy alike)
+                    token = parts[1] if len(parts) >= 2 else ""
+                if _maybe_inflight(token):
                     continue
                 full = os.path.join(d, fn)
                 try:
@@ -2306,14 +2370,13 @@ class LakeVault:
             full = os.path.join(self.data_dir, d)
             if not os.path.isdir(full):
                 continue
-            try:
-                attempt = int(d.split("-")[1])
-            except (IndexError, ValueError):
-                continue
-            if attempt > cur:
-                # possible in-flight writer (stages for current+1): never
-                # touched — not even when it currently holds no parquet (the
-                # window between new_write_dir() and the first task commit)
+            parts = d.split("-")
+            inflight = _maybe_inflight(parts[1]) if len(parts) >= 2 else None
+            if inflight is None or inflight:
+                # possible in-flight writer (stages for its namespace's
+                # head+1) or a dir this engine didn't name: never touched —
+                # not even when it currently holds no parquet (the window
+                # between new_write_dir() and the first task commit)
                 continue
             try:
                 recent = (time.time() - os.path.getmtime(full)) < orphan_grace_sec

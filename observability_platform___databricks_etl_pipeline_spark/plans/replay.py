@@ -205,7 +205,7 @@ class CDCEngine:
         # file bytes + bloom-build CPU per batch. Env: CDC_BLOOM_COLS=commit
         if bloom_cols is None:
             env_bloom = os.environ.get("CDC_BLOOM_COLS", "")
-            bloom_cols = [c for c in env_bloom.split(",") if c.strip()] or None
+            bloom_cols = [c.strip() for c in env_bloom.split(",") if c.strip()] or None
         if LakeVault.exists(table_root):
             self.vault = LakeVault.load(spark, table_root)
         else:
@@ -500,10 +500,14 @@ class CDCEngine:
         keep = set(batches[-keep_side_batches:]) if keep_side_batches > 0 else set(batches)
         # batches staged on LIVE branches are committed state too (their
         # branch's log has them; publish carries them to main): their side
-        # data and lineage manifests must survive main's retention sweep
+        # data and lineage manifests must survive main's retention sweep.
+        # ONLY the post-fork ids though — a branch's batch log cumulatively
+        # contains every pre-fork main batch, and folding those in would
+        # silently disable the keep_side_batches bound for all history
         staged: set[str] = set()
         for bname in self.vault.branches():
             staged |= set(self.vault.branch(bname).snapshot().committed_batches)
+        staged -= set(batches)
         keep |= staged
         expired_bids = [b for b in batches if b not in keep]
         for d in (self.quarantine_dir, self.metrics_dir):

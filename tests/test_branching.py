@@ -6,7 +6,6 @@ moves the audit before visibility. The reference has no branching at all —
 this is Iceberg-surface parity for the from-scratch table format.
 """
 
-import json
 import os
 
 import pytest
@@ -64,8 +63,12 @@ def test_wap_stage_audit_publish(spark, tmp_path, wal):
     staged_state = _state(staged)
 
     published = eng.vault.publish_branch("audit")
-    assert published == head_b
-    assert eng.vault.current_snapshot_id() == head_b
+    # publish squashes the staged commits into ONE atomic main snapshot
+    assert published == fork + 1
+    assert eng.vault.current_snapshot_id() == published
+    psnap = eng.vault.snapshot(published)
+    assert psnap.summary["operation"] == "publish"
+    assert psnap.summary["published_from"] == head_b
     assert _state(eng) == staged_state
     assert "audit" not in eng.vault.branches()  # publish drops by default
 
@@ -99,10 +102,10 @@ def test_publish_conflict_when_main_advances(spark, tmp_path, wal):
     eng.vault.drop_branch("b")
 
 
-def test_publish_crash_resume(spark, tmp_path, wal):
-    """A publish that crashed after claiming a PREFIX of the branch chain is
-    resumable: the prefix is a valid main state, and re-publishing skips
-    identical already-claimed snapshots."""
+def test_publish_crash_resume_is_idempotent(spark, tmp_path, wal):
+    """A publish that crashed after its CAS (before dropping the branch) is
+    completed by simply calling publish again: the identical already-claimed
+    snapshot is recognized, never conflated with a racing main commit."""
     tbl = str(tmp_path / "tbl")
     chunks = list_chunks(wal)
     eng = CDCEngine(spark, tbl, n_buckets=8)
@@ -111,24 +114,19 @@ def test_publish_crash_resume(spark, tmp_path, wal):
 
     eng.vault.create_branch("b")
     staged = CDCEngine(spark, tbl, n_buckets=8, branch="b")
-    staged.replay(wal, chunks=chunks[1:3])  # >= 2 branch commits
-    b = eng.vault.branch("b")
-    head_b = b.current_snapshot_id()
+    staged.replay(wal, chunks=chunks[1:3])  # >= 2 staged commits squash
+    head_b = eng.vault.branch("b").current_snapshot_id()
     assert head_b >= fork + 2
 
-    # simulate the crash: first branch snapshot already claimed into main
-    with open(b._snap_path(fork + 1)) as f:
-        content = json.load(f)
-    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import (
-        _atomic_claim_json,
-    )
-
-    assert _atomic_claim_json(eng.vault._snap_path(fork + 1), content)
-    assert eng.vault.current_snapshot_id() == fork + 1  # valid prefix state
-
-    published = eng.vault.publish_branch("b")
-    assert published == head_b
-    assert eng.vault.current_snapshot_id() == head_b
+    # "crash" after the CAS: publish without dropping, then retry
+    first = eng.vault.publish_branch("b", drop=False)
+    assert first == fork + 1
+    state_after = _state(CDCEngine(spark, tbl, n_buckets=8))
+    again = eng.vault.publish_branch("b")  # retry completes + drops
+    assert again == first
+    assert eng.vault.current_snapshot_id() == first
+    assert _state(CDCEngine(spark, tbl, n_buckets=8)) == state_after
+    assert "b" not in eng.vault.branches()
 
 
 def test_expire_retains_branch_files_until_drop(spark, tmp_path, wal):
@@ -182,6 +180,11 @@ def test_tag_pins_snapshot_through_expire(spark, tmp_path, wal):
     assert tagged in eng.vault.snapshot_ids()
     assert eng.vault.resolve_tag("v1") == tagged
     assert eng.vault.scan(snapshot_id=tagged).count() == rows_at_tag
+
+    # tag names are claimed with a CAS: a second create for the same name
+    # must fail loudly instead of silently re-pinning (racing operators)
+    with pytest.raises(ValueError):
+        eng.vault.create_tag("v1")
 
     # dropping the tag releases it: next expire removes the snapshot
     eng.vault.drop_tag("v1")
