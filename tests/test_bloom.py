@@ -117,3 +117,79 @@ def test_bloom_parity_with_bloomless_table(spark, tmp_path):
     # bloomless table files really have no blooms (option scoping works)
     for f in b.vault.snapshot().files:
         assert bloom_offsets(os.path.join(b.root, f["path"])) == {}
+
+
+def test_typed_probe_encoding_matches_physical_width(spark, tmp_path):
+    """Blooms hash the column's PHYSICAL plain encoding: INT32/FLOAT values
+    are 4 bytes on disk, INT64/DOUBLE are 8. Probing at the declared width
+    must never false-negative; probing an INT32 bloom at 8 bytes (the old
+    behavior for every Python int) wrongly prunes files that DO hold the
+    value — the exact bug the typed encoding fixed."""
+    p = str(tmp_path / "t")
+    df = spark.range(200).selectExpr(
+        "cast(id as int) i32", "id i64",
+        "cast(id as float) f32", "cast(id as double) f64",
+    )
+    w = df.coalesce(1).write.mode("overwrite")
+    for c in ("i32", "i64", "f32", "f64"):
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(p)
+    f = glob.glob(os.path.join(p, "*.parquet"))[0]
+    present = list(range(0, 200, 7))
+    for v in present:  # no false negatives at the physical width
+        assert file_may_contain(f, "i32", v, col_type="int")
+        assert file_may_contain(f, "i64", v, col_type="long")
+        assert file_may_contain(f, "f32", float(v), col_type="float")
+        assert file_may_contain(f, "f64", float(v), col_type="double")
+    # absent values prune at every width
+    assert not file_may_contain(f, "i32", 10**6, col_type="int")
+    assert not file_may_contain(f, "i64", 10**6, col_type="long")
+    assert not file_may_contain(f, "f32", 1e6, col_type="float")
+    assert not file_may_contain(f, "f64", 1e6, col_type="double")
+    # the wrong width is NOT a safe fallback: 8-byte probes of the INT32
+    # bloom miss (nearly) every present value
+    assert not all(file_may_contain(f, "i32", v, col_type="long") for v in present)
+    # unknown type for a numeric probe: conservative keep, never prune
+    assert file_may_contain(f, "i32", 10**6)
+
+
+def test_scan_probe_uses_per_file_schema_width_across_promotion(spark, tmp_path):
+    """int→long promotion: files written before the promotion carry INT32
+    physical encoding, files after INT64. scan(column_equals=...) must hash
+    4 bytes against old-era files and 8 against new-era ones — one shared
+    width would silently prune the era that really holds the row."""
+    from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+
+    root = str(tmp_path / "tbl")
+    v = LakeVault.create(
+        spark, root,
+        [("repo", "string"), ("path", "string"), ("val", "int"), ("last_seq", "long")],
+        key_cols=("repo", "path"), n_buckets=2, bloom_cols=["val"],
+    )
+
+    def _commit(df, batch_id, new_schema=None):
+        wd = v.new_write_dir(batch_id)
+        wr = df.withColumn("__bucket", v.bucket_expr()).repartition(1, "__bucket").write
+        for k, val in v.data_write_options().items():
+            wr = wr.option(k, val)
+        wr.mode("overwrite").partitionBy("__bucket").parquet(wd)
+        v.commit(add_write_dir=wd, replace_buckets=[], batch_id=batch_id,
+                 manifest={"batch_id": batch_id}, new_schema=new_schema)
+
+    _commit(
+        spark.createDataFrame([("r1", "a.py", 111, 1), ("r1", "b.py", 222, 2)],
+                              "repo string, path string, val int, last_seq long"),
+        "era-int",
+    )
+    _commit(
+        spark.createDataFrame([("r2", "c.py", 333, 3), ("r2", "d.py", 444, 4)],
+                              "repo string, path string, val long, last_seq long"),
+        "era-long",
+        new_schema=v.snapshot().schema.promote_column("val", "long"),
+    )
+    # both eras' values survive the bloom-pruned scan (probe matches each
+    # file's own physical width)
+    assert v.scan(column_equals={"val": 111}).where("val = 111").count() == 1
+    assert v.scan(column_equals={"val": 444}).where("val = 444").count() == 1
+    # absent value prunes every file in both eras
+    assert v.scan(column_equals={"val": 9999}).count() == 0

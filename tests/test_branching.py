@@ -210,3 +210,28 @@ def test_branch_guards(spark, tmp_path):
     # empty branch publish is a no-op fast path
     assert v.publish_branch("x") == v.current_snapshot_id()
     assert "x" not in v.branches()
+
+
+def test_expire_never_sweeps_live_branch_staging_dir(spark, tmp_path, wal):
+    """Staging dirs carry a NAMESPACED attempt token (<branch>.<id>): a live
+    branch writer staging for branch_head+1 must survive MAIN's expire even
+    after main's numbering races far past the branch-local id (a bare id
+    compared against main's head would look long-dead) — and the same dir
+    becomes sweepable once its branch is dropped, because nothing of a
+    dropped branch can still be in flight past the grace window."""
+    tbl = str(tmp_path / "tbl")
+    chunks = list_chunks(wal)
+    eng = CDCEngine(spark, tbl, n_buckets=8)
+    eng.replay(wal, chunks=chunks[:1])  # main head = 1
+    eng.vault.create_branch("slow")
+    bv = eng.vault.branch("slow")
+    staging = bv.new_write_dir("inflight")  # stages for branch head + 1
+    tok = f"-slow.{bv.current_snapshot_id() + 1}-"
+    assert tok in os.path.basename(staging)
+    eng.replay(wal, chunks=chunks[1:])  # main head >> branch-local attempt id
+    assert eng.vault.current_snapshot_id() > bv.current_snapshot_id() + 1
+    eng.vault.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert os.path.isdir(staging), "live branch writer's staging dir swept"
+    eng.vault.drop_branch("slow")
+    eng.vault.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert not os.path.isdir(staging), "dropped branch's staging dir leaked"
