@@ -932,6 +932,93 @@ class LakeVault:
         column id; columns added later are backfilled as typed nulls."""
         snap = self.snapshot(snapshot_id)
         cur = snap.schema
+        files = self.pruned_files(
+            snap,
+            buckets=buckets,
+            key_range=key_range,
+            column_ranges=column_ranges,
+            column_equals=column_equals,
+        )
+        if not files:
+            ddl = ", ".join(
+                f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
+            )
+            return self.spark.createDataFrame([], schema=ddl)
+
+        need_merge = any(f.get("delta") for f in files)
+        # Group files by (schema_id, commit ordinal). The ordinal (the
+        # snapshot id that ADDED the file) only matters when a merge-on-read
+        # LWW pass runs — it is the canonical tiebreak (see below) — so COW
+        # scans keep one group per schema version (no plan bloat). The group
+        # count on MOR reads is bounded by the auto-compact policy (deltas
+        # per bucket capped), so the union stays small.
+        by_group: dict[tuple[int, int], list[str]] = {}
+        for f in files:
+            key = (f["schema_id"], f.get("ord", 0) if need_merge else 0)
+            by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
+        parts: list[DataFrame] = []
+        for (sid, ordv), paths in sorted(by_group.items()):
+            old = snap.schemas[sid]
+            old_by_id = {c["id"]: c for c in old.columns}
+            df = self.spark.read.parquet(*paths)
+            sel = []
+            for c in cur.columns:
+                oc = old_by_id.get(c["id"])
+                typ = SPARK_TYPE.get(c["type"], c["type"])
+                if oc is None:
+                    sel.append(F.lit(None).cast(typ).alias(c["name"]))
+                else:
+                    sel.append(F.col(oc["name"]).cast(typ).alias(c["name"]))
+            if need_merge:
+                sel.append(F.lit(ordv).alias("__ord"))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if need_merge:
+            # merge-on-read: delta files carry only each batch's winner rows
+            # (incl. tombstones); the read view is LWW per key — one
+            # partial-aggregated max_by, the same skew-immune shape as the
+            # write-side merge. CANONICAL ORDER: (last_seq, __ord) where
+            # __ord is the commit ordinal — on a duplicate seq spanning
+            # commits the LATER commit wins, exactly matching the write-side
+            # rule "batch beats table at equal seq" (max_by over
+            # (last_seq, __src, ...) in replay._merge_maxby), so MOR scans,
+            # COW materialization and compact() all converge on the same
+            # winner. Within one commit a key appears at most once (each
+            # delta file holds one merged winner per key), so the
+            # content_sha256 tail is a deterministic safety net only —
+            # included when the table has the column, omitted otherwise
+            # (LakeVault is a general table format; MOR must not require
+            # an engine-specific column).
+            # Pruning stays correct: base and delta rows of a key share the
+            # same bucket and key-range span, so a pruned read is a pruned
+            # superset merged the same way. COW tables (no delta entries)
+            # never pay this aggregation.
+            from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
+
+            tie = ["last_seq", "__ord"]
+            if "content_sha256" in out.columns:
+                tie.append("content_sha256")
+            out = lww_dedup(out, list(self.key_cols), tie).drop("__ord")
+        return out
+
+    def pruned_files(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
+        column_ranges: dict[str, tuple[Any, Any]] | None = None,
+        column_equals: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Manifest-metadata file pruning — the planning half of ``scan()``,
+        shared with the ``lakevault`` Spark data source (sources/
+        lakevault_ds.py) so both paths prune identically. Pure driver-side
+        metadata (plus optional ranged bloom reads); never needs a
+        SparkSession, so a metadata-only ``LakeVault(None, root)`` handle can
+        call it. Superset guarantee as documented on ``scan()``: kept files
+        may contain non-matching rows, callers still apply row predicates."""
+        cur = snap.schema
         files = snap.files
         if column_equals:
             merged = dict(column_ranges or {})
@@ -1012,69 +1099,8 @@ class LakeVault:
                 return not probes or probe_file(os.path.join(self.root, f["path"]), probes)
 
             files = [f for f in files if _bloom_keeps(f)]
-        if not files:
-            ddl = ", ".join(
-                f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
-            )
-            return self.spark.createDataFrame([], schema=ddl)
+        return files
 
-        need_merge = any(f.get("delta") for f in files)
-        # Group files by (schema_id, commit ordinal). The ordinal (the
-        # snapshot id that ADDED the file) only matters when a merge-on-read
-        # LWW pass runs — it is the canonical tiebreak (see below) — so COW
-        # scans keep one group per schema version (no plan bloat). The group
-        # count on MOR reads is bounded by the auto-compact policy (deltas
-        # per bucket capped), so the union stays small.
-        by_group: dict[tuple[int, int], list[str]] = {}
-        for f in files:
-            key = (f["schema_id"], f.get("ord", 0) if need_merge else 0)
-            by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
-        parts: list[DataFrame] = []
-        for (sid, ordv), paths in sorted(by_group.items()):
-            old = snap.schemas[sid]
-            old_by_id = {c["id"]: c for c in old.columns}
-            df = self.spark.read.parquet(*paths)
-            sel = []
-            for c in cur.columns:
-                oc = old_by_id.get(c["id"])
-                typ = SPARK_TYPE.get(c["type"], c["type"])
-                if oc is None:
-                    sel.append(F.lit(None).cast(typ).alias(c["name"]))
-                else:
-                    sel.append(F.col(oc["name"]).cast(typ).alias(c["name"]))
-            if need_merge:
-                sel.append(F.lit(ordv).alias("__ord"))
-            parts.append(df.select(*sel))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if need_merge:
-            # merge-on-read: delta files carry only each batch's winner rows
-            # (incl. tombstones); the read view is LWW per key — one
-            # partial-aggregated max_by, the same skew-immune shape as the
-            # write-side merge. CANONICAL ORDER: (last_seq, __ord) where
-            # __ord is the commit ordinal — on a duplicate seq spanning
-            # commits the LATER commit wins, exactly matching the write-side
-            # rule "batch beats table at equal seq" (max_by over
-            # (last_seq, __src, ...) in replay._merge_maxby), so MOR scans,
-            # COW materialization and compact() all converge on the same
-            # winner. Within one commit a key appears at most once (each
-            # delta file holds one merged winner per key), so the
-            # content_sha256 tail is a deterministic safety net only —
-            # included when the table has the column, omitted otherwise
-            # (LakeVault is a general table format; MOR must not require
-            # an engine-specific column).
-            # Pruning stays correct: base and delta rows of a key share the
-            # same bucket and key-range span, so a pruned read is a pruned
-            # superset merged the same way. COW tables (no delta entries)
-            # never pay this aggregation.
-            from observability_platform___databricks_etl_pipeline_spark.operators.dedup import lww_dedup
-
-            tie = ["last_seq", "__ord"]
-            if "content_sha256" in out.columns:
-                tie.append("content_sha256")
-            out = lww_dedup(out, list(self.key_cols), tie).drop("__ord")
-        return out
 
     def scan_changes(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -1188,6 +1214,7 @@ class LakeVault:
                 "_before",
             )
         )
+
 
     # ---- commit ----------------------------------------------------------
 
