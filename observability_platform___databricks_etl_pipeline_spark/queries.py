@@ -1622,6 +1622,24 @@ def cdc_point_lookup(spark, sf_dir):
     )
 
 
+@_register("cdc_datasource_scan", _final_state_oracle())
+def cdc_datasource_scan(spark, sf_dir):
+    """The replayed table read back through ``spark.read.format("lakevault")``
+    (sources/lakevault_ds.py — the Python DataSource integration, r5): the
+    executor-side pyarrow readers must reproduce scan()'s column-id
+    alignment and LWW fold exactly, so the per-lang rollup of the DS read
+    hash-equals the same DuckDB WAL replay that gates
+    ``cdc_engine_final_state``."""
+    from observability_platform___databricks_etl_pipeline_spark.sources import lakevault_ds
+
+    eng = _entry_engine(spark)
+    lakevault_ds.register(spark)
+    state = (
+        spark.read.format("lakevault").load(eng.root).where(~F.col("is_deleted"))
+    )
+    return _lang_rollup(state)
+
+
 def _ingest_rollup_oracle() -> str:
     """DuckDB replay of the PER-BATCH Gold rollup: chunk winners via arg_max
     per (repo, path, chunk); action classification against PRIOR table state
@@ -1880,26 +1898,6 @@ def sessionize(spark, sf_dir):
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-@_register(
-    "pivot_event_matrix",
-    f"""
-    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
-           {', '.join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
-    FROM events GROUP BY 1
-    """,
-)
-def pivot_event_matrix(spark, sf_dir):
-    """Pivot (§2.6 guide row): event-type count matrix per user bucket, fixed
-    pivot values so the schema is deterministic."""
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
-        .groupBy("user_bucket")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .count()
-        .fillna(0, subset=list(_EVENT_TYPES))
-        .select("user_bucket", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
-    )
 
 
 def _stream_tmp(prefix: str):
@@ -2268,3 +2266,26 @@ def set_except_suppliers(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
     return n.subtract(s)  # EXCEPT (distinct) semantics, matching the oracle
 
+
+# Rotated to the overflow set in r5 (hash-green r3+r4, operator untouched)
+# to make sweep room for cdc_datasource_scan above the line.
+@_register(
+    "pivot_event_matrix",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           {', '.join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_matrix(spark, sf_dir):
+    """Pivot (§2.6 guide row): event-type count matrix per user bucket, fixed
+    pivot values so the schema is deterministic."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .fillna(0, subset=list(_EVENT_TYPES))
+        .select("user_bucket", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
+    )
