@@ -945,7 +945,18 @@ class LakeVault:
             )
             return self.spark.createDataFrame([], schema=ddl)
 
+        del_files = [f for f in files if f.get("eq_delete")]
+        files = [f for f in files if not f.get("eq_delete")]
+        if not files:
+            # every surviving file is an equality delete: no live rows
+            ddl = ", ".join(
+                f"`{c['name']}` {SPARK_TYPE.get(c['type'], c['type'])}" for c in cur.columns
+            )
+            return self.spark.createDataFrame([], schema=ddl)
         need_merge = any(f.get("delta") for f in files)
+        # the commit ordinal is needed for the MOR LWW tiebreak AND for
+        # equality-delete application (a delete removes rows of SMALLER ord)
+        need_ord = need_merge or bool(del_files)
         # Group files by (schema_id, commit ordinal). The ordinal (the
         # snapshot id that ADDED the file) only matters when a merge-on-read
         # LWW pass runs — it is the canonical tiebreak (see below) — so COW
@@ -954,7 +965,7 @@ class LakeVault:
         # per bucket capped), so the union stays small.
         by_group: dict[tuple[int, int], list[str]] = {}
         for f in files:
-            key = (f["schema_id"], f.get("ord", 0) if need_merge else 0)
+            key = (f["schema_id"], f.get("ord", 0) if need_ord else 0)
             by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
         parts: list[DataFrame] = []
         for (sid, ordv), paths in sorted(by_group.items()):
@@ -969,12 +980,22 @@ class LakeVault:
                     sel.append(F.lit(None).cast(typ).alias(c["name"]))
                 else:
                     sel.append(F.col(oc["name"]).cast(typ).alias(c["name"]))
-            if need_merge:
+            if need_ord:
                 sel.append(F.lit(ordv).alias("__ord"))
             parts.append(df.select(*sel))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if del_files:
+            # Equality deletes (merge-on-read DELETE, plans §DML): each
+            # delete file holds KEY columns only and removes every data row
+            # of the same key whose commit ordinal is SMALLER than the
+            # delete's — Iceberg v2 sequence-number semantics. Applied
+            # BEFORE the LWW fold so a key re-inserted after the delete
+            # (even with a lower last_seq) survives: the fold then runs
+            # over post-delete survivors only. One extra equi-join against
+            # the (small) delete key set; AQE broadcasts it when it fits.
+            out = self._apply_eq_deletes(out, snap, del_files)
         if need_merge:
             # merge-on-read: delta files carry only each batch's winner rows
             # (incl. tombstones); the read view is LWW per key — one
@@ -1000,8 +1021,50 @@ class LakeVault:
             tie = ["last_seq", "__ord"]
             if "content_sha256" in out.columns:
                 tie.append("content_sha256")
-            out = lww_dedup(out, list(self.key_cols), tie).drop("__ord")
+            out = lww_dedup(out, list(self.key_cols), tie)
+        if need_ord:
+            out = out.drop("__ord")
         return out
+
+    def _apply_eq_deletes(
+        self, out: DataFrame, snap: Snapshot, del_files: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Anti-apply equality-delete files to a data scan carrying
+        ``__ord``: a row survives iff no delete of its key has a larger
+        ordinal (max-aggregated per key — stacked deletes collapse to one
+        comparison). Delete files are read with ONLY the key columns (that
+        is all they physically carry), names aligned by column id under
+        each file's schema version."""
+        keys = list(self.key_cols)
+        cur_cols = {c["name"]: c for c in snap.schema.columns}
+        by_group: dict[tuple[int, int], list[str]] = {}
+        for f in del_files:
+            by_group.setdefault((f["schema_id"], f["ord"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for (sid, ordv), paths in sorted(by_group.items()):
+            old_by_id = {c["id"]: c for c in snap.schemas[sid].columns}
+            sel = [
+                F.col(old_by_id[cur_cols[k]["id"]]["name"])
+                .cast(SPARK_TYPE.get(cur_cols[k]["type"], cur_cols[k]["type"]))
+                .alias(k)
+                for k in keys
+            ]
+            parts.append(
+                self.spark.read.parquet(*paths).select(
+                    *sel, F.lit(ordv).alias("__del_ord")
+                )
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        dmax = dels.groupBy(*keys).agg(F.max("__del_ord").alias("__del_ord"))
+        return (
+            out.join(dmax, keys, "left")
+            .where(F.col("__del_ord").isNull() | (F.col("__ord") >= F.col("__del_ord")))
+            .drop("__del_ord")
+        )
 
     def pruned_files(
         self,
@@ -1051,7 +1114,14 @@ class LakeVault:
                 raise ValueError(
                     f"column_ranges refers to columns not in the current schema: {unknown}"
                 )
-        if column_ranges and not any(f.get("delta") for f in files):
+        # eq_delete files disable value-based skipping like MOR deltas do:
+        # a delete file carries only key columns, so a non-key stat/bloom
+        # probe has no sound answer for it — dropping it would RESURRECT
+        # every row it deletes. compact() folds deletes and restores both
+        # optimizations.
+        if column_ranges and not any(
+            f.get("delta") or f.get("eq_delete") for f in files
+        ):
 
             def _survives(f: dict[str, Any]) -> bool:
                 cs = f.get("col_stats")
@@ -1077,7 +1147,7 @@ class LakeVault:
             column_equals
             and files
             and len(files) <= _BLOOM_PRUNE_MAX_FILES
-            and not any(f.get("delta") for f in files)
+            and not any(f.get("delta") or f.get("eq_delete") for f in files)
         ):
             from observability_platform___databricks_etl_pipeline_spark.plans.bloom import probe_file
 
@@ -1226,7 +1296,7 @@ class LakeVault:
     _STAT_HARVEST_DRIVER_MAX = int(os.environ.get("CDC_STAT_DRIVER_MAX", "64"))
 
     def _register_written_files(
-        self, write_dir: str, schema_id: int, delta: bool = False
+        self, write_dir: str, schema_id: int, delta: bool = False, eq_delete: bool = False
     ) -> list[dict[str, Any]]:
         """Walk a Spark-written bucket-partitioned directory and produce file
         entries with parquet-footer stats (rows + key min/max) — the manifest
@@ -1268,6 +1338,11 @@ class LakeVault:
                 entry["col_stats"] = cstats
             if delta:
                 entry["delta"] = True  # absent (not False) in COW entries: old snapshots stay readable
+            if eq_delete:
+                # equality-delete file (Iceberg v2 analog): rows are KEY
+                # columns only; at read time they remove every data row of
+                # the same key with a SMALLER commit ordinal (see scan()).
+                entry["eq_delete"] = True
             entries.append(entry)
         return entries
 
@@ -1516,6 +1591,8 @@ class LakeVault:
         replace_all: bool = False,
         new_n_buckets: int | None = None,
         delta: bool = False,
+        eq_delete: bool = False,
+        guard_buckets: list[int] | None = None,
         max_conflict_retries: int = 10,
         base_snapshot_id: int | None = None,
     ) -> int:
@@ -1562,13 +1639,24 @@ class LakeVault:
                 base = parent
             elif parent.snapshot_id != base.snapshot_id:
                 try:
+                    # guard_buckets widens the conflict check WITHOUT
+                    # replacing refs: an equality-delete commit adds files
+                    # only, but its key set was derived from a predicate
+                    # evaluated at the base snapshot — an interleaved write
+                    # to the same buckets could add rows the predicate no
+                    # longer matches, which the key-only delete would still
+                    # kill. Conflict instead (same rule as a COW replace).
                     self._check_rebase(
                         base,
                         parent,
-                        replace_buckets=replace_buckets,
+                        replace_buckets=(
+                            replace_buckets
+                            if replace_buckets is not None
+                            else guard_buckets
+                        ),
                         replace_all=replace_all,
                         new_n_buckets=new_n_buckets,
-                        delta=delta,
+                        delta=delta and not guard_buckets,
                     )
                 except CommitConflict:
                     self._drop_uncommitted_manifest(batch_id, manifest)
@@ -1591,7 +1679,7 @@ class LakeVault:
                     # footer stats harvested ONCE; only the ordinal differs
                     # between attempts
                     entries_cache = self._register_written_files(
-                        add_write_dir, schema.schema_id, delta=delta
+                        add_write_dir, schema.schema_id, delta=delta, eq_delete=eq_delete
                     )
                 for e in entries_cache:
                     # commit ordinal: the snapshot that added the file — the
@@ -1860,6 +1948,7 @@ class LakeVault:
         where: str | F.Column,
         column_ranges: dict[str, tuple[Any, Any]] | None = None,
         target_file_rows: int = 2_000_000,
+        mode: str = "cow",
     ) -> int:
         """Predicate DELETE (row-level DML): remove every row where the
         predicate is TRUE by COW-rewriting ONLY the buckets that contain
@@ -1882,12 +1971,60 @@ class LakeVault:
         re-range-partitioned on the key columns so point-lookup pruning
         stays tight. ``rows_deleted`` is exact when the affected buckets
         carried no deltas (manifest row totals), else reported as an upper
-        bound (pre-fold delta rows double-count)."""
+        bound (pre-fold delta rows double-count).
+
+        ``mode="mor"`` writes EQUALITY-DELETE files instead of rewriting
+        (Iceberg v2 merge-on-read DELETE): one job projects just the
+        matched KEYS, written per-bucket and committed as ``eq_delete``
+        manifest entries; no data file is touched. Scans remove every row
+        of a deleted key with a smaller commit ordinal (so a later
+        re-insert of the key survives), ``scan_changes`` emits the deletes,
+        and ``compact()`` folds the delete files away. Cost is O(matched
+        keys) — the GDPR-erasure shape for a 100 TB table where COW
+        rewrites of hot buckets are too expensive per request; the deletes
+        amortize into the next compaction. Trade-offs while delete files
+        are live: scans pay one extra equi-join, and value-based file
+        skipping (column stats / blooms) is disabled like under MOR deltas.
+        A concurrent write to an affected bucket raises ``CommitConflict``
+        (the key set was derived from a predicate evaluated at this
+        snapshot)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete: unknown mode {mode!r} (use 'cow' or 'mor')")
         pred = F.expr(where) if isinstance(where, str) else where
         snap = self._dml_snapshot()
         affected = self._affected_buckets(snap.snapshot_id, pred, column_ranges)
         if not affected:
             return snap.snapshot_id
+        if mode == "mor":
+            keys = list(self.key_cols)
+            matched = (
+                self.scan(snapshot_id=snap.snapshot_id, buckets=affected)
+                .where(F.coalesce(pred, F.lit(False)))
+                .select(*keys)
+            )
+            wd = self.new_write_dir("eqdelete")
+            (
+                matched.withColumn("__bucket", self.bucket_expr())
+                .repartition(max(1, min(len(affected), 32)), "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(wd)
+            )
+            return self.commit(
+                add_write_dir=wd,
+                replace_buckets=None,
+                batch_id=None,
+                delta=True,
+                eq_delete=True,
+                guard_buckets=affected,
+                base_snapshot_id=snap.snapshot_id,
+                summary={
+                    "operation": "delete",
+                    "mode": "mor",
+                    "predicate": str(where),
+                    "buckets": affected,
+                },
+            )
         bset = set(affected)
         touched = [f for f in snap.files if f["bucket"] in bset]
         before_rows = sum(f["rows"] for f in touched)
@@ -1920,6 +2057,7 @@ class LakeVault:
         where: str | F.Column,
         column_ranges: dict[str, tuple[Any, Any]] | None = None,
         target_file_rows: int = 2_000_000,
+        mode: str = "cow",
     ) -> int:
         """Predicate UPDATE (row-level DML): for every row where the
         predicate is TRUE, replace each ``set_exprs`` column with its
@@ -1928,8 +2066,26 @@ class LakeVault:
         another). Values are cast to the column's existing type, so the
         table schema never drifts. Only buckets containing matches are
         COW-rewritten; the rest carry by manifest reference (same probe +
-        rewrite shape as ``delete`` — see its scale notes)."""
+        rewrite shape as ``delete`` — see its scale notes).
+
+        ``mode="mor"`` DELTA-APPENDS the updated rows instead of rewriting:
+        an updated row keeps its ``last_seq`` but lands under a HIGHER
+        commit ordinal, so the read-side LWW fold's canonical order
+        ``(last_seq, ordinal)`` makes it win over the base row — the same
+        "batch beats table at equal seq" rule the CDC merge uses, no new
+        machinery. Cost is O(matched rows); the superseded base rows
+        amortize into the next compaction. A concurrent write to an
+        affected bucket raises ``CommitConflict`` (the new values were
+        computed from rows read at this snapshot)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"update: unknown mode {mode!r} (use 'cow' or 'mor')")
         pred = F.expr(where) if isinstance(where, str) else where
+        if mode == "mor" and "last_seq" not in self.snapshot().schema.names():
+            raise ValueError(
+                "update(mode='mor') delta-appends updated rows, which the "
+                "read-side LWW fold resolves by (last_seq, commit ordinal) — "
+                "this table has no last_seq column; use mode='cow'"
+            )
         if not set_exprs:
             raise ValueError("update requires at least one column assignment")
         snap = self._dml_snapshot()
@@ -1957,6 +2113,39 @@ class LakeVault:
         for c, e in set_exprs.items():
             expr = F.expr(e) if isinstance(e, str) else e
             staged = staged.withColumn(f"__new_{c}", expr.cast(types[c]))
+        if mode == "mor":
+            # only the MATCHED rows, with assignments applied — appended as
+            # a delta whose higher ordinal out-ranks the base rows at equal
+            # last_seq in the scan-side LWW fold
+            upd = staged.where(F.col("__m")).select(
+                *[
+                    F.col(f"__new_{c}").alias(c) if c in set_exprs else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            wd = self.new_write_dir("morupdate")
+            (
+                upd.withColumn("__bucket", self.bucket_expr())
+                .repartition(max(1, min(len(affected), 32)), "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(wd)
+            )
+            return self.commit(
+                add_write_dir=wd,
+                replace_buckets=None,
+                batch_id=None,
+                delta=True,
+                guard_buckets=affected,
+                base_snapshot_id=snap.snapshot_id,
+                summary={
+                    "operation": "update",
+                    "mode": "mor",
+                    "predicate": str(where),
+                    "set": sorted(set_exprs),
+                    "buckets": affected,
+                },
+            )
         out = staged.select(
             *[
                 F.when(F.col("__m"), F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c)

@@ -1590,7 +1590,11 @@ def cdc_predicate_dml(spark, sf_dir):
     )
     v.commit(add_write_dir=wd, replace_buckets=None, batch_id="seed",
              manifest={"batch_id": "seed"})
-    v.delete("lang = 'yaml'")
+    # DELETE through the merge-on-read path (r5: equality-delete files, no
+    # bucket rewrite); the UPDATE then COW-rewrites its matched buckets with
+    # the live delete files applied — so this one gate hashes BOTH DML modes
+    # against the same oracle
+    v.delete("lang = 'yaml'", mode="mor")
     v.update({"lang": "'text'"}, where="lang = 'json'")
     return v.scan().select(
         "repo",

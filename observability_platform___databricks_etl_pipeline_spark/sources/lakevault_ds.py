@@ -179,6 +179,7 @@ def _file_entry(f: dict[str, Any]) -> dict[str, Any]:
         "schema_id": f["schema_id"],
         "ord": f.get("ord", 0),
         "delta": bool(f.get("delta")),
+        "eq_delete": bool(f.get("eq_delete")),
         "bucket": f.get("bucket"),
     }
 
@@ -215,7 +216,7 @@ def _group_read_partitions(
                 need_merge=False,
             )
         ]
-    merge_buckets = {f["bucket"] for f in entries if f["delta"]}
+    merge_buckets = {f["bucket"] for f in entries if f["delta"] or f["eq_delete"]}
     parts: list[_ScanPartition] = []
     if None in merge_buckets or (merge_buckets and any(f["bucket"] is None for f in entries)):
         grp = entries
@@ -314,9 +315,15 @@ def _read_aligned(
     cur_cols: list[dict[str, Any]],
     need_merge: bool,
     key_cols: list[str],
+    del_files: list[dict[str, Any]] | None = None,
 ) -> pa.Table:
     """Read data files and align them to ``cur_cols`` by COLUMN ID (the
-    scan() rename/backfill/widen rule), then LWW-fold if deltas are live."""
+    scan() rename/backfill/widen rule), apply equality-delete files (rows
+    of a deleted key with a smaller commit ordinal die — BEFORE the fold,
+    so re-inserts survive, mirroring ``LakeVault._apply_eq_deletes``),
+    then LWW-fold if deltas are live."""
+    del_files = del_files or []
+    need_ord = need_merge or bool(del_files)
     target_fields = [
         pa.field(c["name"], _ARROW_TYPE[c["type"]]) for c in cur_cols
     ]
@@ -336,7 +343,7 @@ def _read_aligned(
             else:
                 arrays.append(_normalize_arrow(t.column(oc["name"]), at))
         tt = pa.table(arrays, schema=target_schema)
-        if need_merge:
+        if need_ord:
             tt = tt.append_column("__ord", pa.array([f["ord"]] * n, pa.int64()))
         tables.append(tt)
     if not tables:
@@ -344,12 +351,51 @@ def _read_aligned(
             [pa.array([], type=f.type) for f in target_fields], schema=target_schema
         )
     out = pa.concat_tables(tables)
+    if del_files:
+        out = _apply_eq_deletes_arrow(out, root, del_files, schemas, cur_cols, key_cols)
     if need_merge:
         tie = ["last_seq", "__ord"]
         if "content_sha256" in out.column_names:
             tie.append("content_sha256")
-        out = _lww_fold(out, key_cols, tie).drop_columns(["__ord"])
+        out = _lww_fold(out, key_cols, tie)
+    if need_ord:
+        out = out.drop_columns(["__ord"])
     return out
+
+
+def _apply_eq_deletes_arrow(
+    out: pa.Table,
+    root: str,
+    del_files: list[dict[str, Any]],
+    schemas: dict[str, list[dict]],
+    cur_cols: list[dict[str, Any]],
+    key_cols: list[str],
+) -> pa.Table:
+    """Arrow-side equality-delete application: a row survives iff no delete
+    of its key carries a larger ordinal. Only the KEY columns + ``__ord``
+    round-trip through pandas for the merge; the data table stays arrow."""
+    key_col_defs = [c for c in cur_cols if c["name"] in key_cols]
+    dparts = []
+    for f in del_files:
+        old_by_id = {c["id"]: c for c in schemas[str(f["schema_id"])]}
+        phys = [old_by_id[c["id"]]["name"] for c in key_col_defs]
+        t = pq.read_table(os.path.join(root, f["path"]), columns=phys)
+        cols = {
+            c["name"]: _normalize_arrow(
+                t.column(old_by_id[c["id"]]["name"]), _ARROW_TYPE[c["type"]]
+            )
+            for c in key_col_defs
+        }
+        d = pa.table(cols).to_pandas()
+        d["__del_ord"] = f["ord"]
+        dparts.append(d)
+    dels = pd.concat(dparts, ignore_index=True)
+    dmax = dels.groupby(key_cols, as_index=False)["__del_ord"].max()
+    probe = pd.DataFrame({k: out.column(k).to_pandas() for k in key_cols})
+    probe["__ord"] = out.column("__ord").to_pandas()
+    m = probe.merge(dmax, on=key_cols, how="left")
+    keep = m["__del_ord"].isna() | (m["__ord"] >= m["__del_ord"])
+    return out.filter(pa.array(keep.to_numpy(dtype=bool)))
 
 
 def _lww_fold(t: pa.Table, key_cols: list[str], tie_cols: list[str]) -> pa.Table:
@@ -365,10 +411,14 @@ def _lww_fold(t: pa.Table, key_cols: list[str], tie_cols: list[str]) -> pa.Table
     n = t.num_rows
     if n == 0:
         return t
-    keep = np.ones(n, dtype=bool)
+    # row i ends its key run iff ANY key column differs from row i+1 —
+    # equivalently, it is dropped only when ALL key columns match (same key)
+    same = np.ones(max(n - 1, 0), dtype=bool)
     for k in key_cols:
         col = t.column(k).to_numpy(zero_copy_only=False)
-        keep[:-1] &= col[:-1] != col[1:]
+        same &= col[:-1] == col[1:]
+    keep = np.ones(n, dtype=bool)
+    keep[:-1] = ~same
     return t.filter(pa.array(keep))
 
 
@@ -449,18 +499,31 @@ class _ChangesPartition(InputPartition):
         self.key_cols = key_cols
 
 
+def _state_from_entries(
+    root: str,
+    entries: list[dict[str, Any]],
+    schemas: dict[str, list[dict]],
+    cur_cols: list[dict[str, Any]],
+    key_cols: list[str],
+) -> pa.Table:
+    """Split a file group into data vs equality-delete entries and build the
+    aligned post-delete, post-fold state."""
+    dels = [f for f in entries if f.get("eq_delete")]
+    data = [f for f in entries if not f.get("eq_delete")]
+    need_merge = any(f["delta"] for f in data)
+    return _read_aligned(
+        root, data, schemas, cur_cols, need_merge, key_cols, del_files=dels
+    )
+
+
 def _read_scan_partition(p: _ScanPartition) -> Iterator[pa.RecordBatch]:
-    t = _read_aligned(p.root, p.files, p.schemas, p.cur_cols, p.need_merge, p.key_cols)
+    t = _state_from_entries(p.root, p.files, p.schemas, p.cur_cols, p.key_cols)
     yield from t.to_batches()
 
 
 def _read_changes_partition(p: _ChangesPartition) -> Iterator[tuple]:
-    before = _read_aligned(
-        p.root, p.before, p.schemas, p.cur_cols, any(f["delta"] for f in p.before), p.key_cols
-    )
-    after = _read_aligned(
-        p.root, p.after, p.schemas, p.cur_cols, any(f["delta"] for f in p.after), p.key_cols
-    )
+    before = _state_from_entries(p.root, p.before, p.schemas, p.cur_cols, p.key_cols)
+    after = _state_from_entries(p.root, p.after, p.schemas, p.cur_cols, p.key_cols)
     non_key = [c["name"] for c in p.cur_cols if c["name"] not in p.key_cols]
     yield from _diff_rows(before, after, p.key_cols, non_key)
 

@@ -263,3 +263,72 @@ def test_ds_streaming_change_feed_with_restart(spark, tmp_path):
     got2 = run()
     assert _rows(got2) == _rows(v.scan_changes(head1, head2))
     assert [r["_change_type"] for r in got2.collect()] == ["update"]
+
+
+def test_ds_reads_apply_equality_deletes(spark, tmp_path):
+    """MOR DELETE parity: the data source's arrow readers must apply
+    equality-delete files exactly like scan() — including the ordinal rule
+    that lets a post-delete re-insert (with a lower last_seq) survive —
+    and the changes feed must emit the deletes."""
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, COLS, key_cols=("repo", "path"), n_buckets=4)
+    _commit(
+        spark,
+        v,
+        [
+            ("r1", "a.py", 10, 1, _ts(1)),
+            ("r1", "b.yml", 11, 2, _ts(2)),
+            ("r2", "c.yml", 12, 3, _ts(3)),
+            ("r3", "d.go", 13, 4, _ts(4)),
+        ],
+        "b0",
+    )
+    a = v.current_snapshot_id()
+    v.delete("path like '%.yml'", mode="mor")
+    # re-insert one deleted key with a LOWER seq via a delta append: the
+    # ordinal rule must revive it on both read paths
+    _commit(spark, v, [("r2", "c.yml", 5, 30, _ts(5))], "b1", delta=True)
+    b = v.current_snapshot_id()
+
+    _register(spark)
+    ds = spark.read.format("lakevault").load(root)
+    assert _rows(ds) == _rows(v.scan())
+    keys = {(r["repo"], r["path"]): r["last_seq"] for r in ds.collect()}
+    assert ("r1", "b.yml") not in keys
+    assert keys[("r2", "c.yml")] == 5
+
+    ch = (
+        spark.read.format("lakevault")
+        .option("feed", "changes")
+        .option("fromSnapshotId", a)
+        .option("toSnapshotId", b)
+        .load(root)
+    )
+    assert _rows(ch) == _rows(v.scan_changes(a, b))
+
+
+def test_lww_fold_shared_key_prefix_regression():
+    """Regression: rows whose FIRST key column matches their sorted
+    neighbor (many paths under one repo — the normal shape) must not
+    collapse; a run ends when ANY key column differs."""
+    import pyarrow as pa
+
+    from observability_platform___databricks_etl_pipeline_spark.sources.lakevault_ds import _lww_fold
+
+    t = pa.table(
+        {
+            "repo": ["r1"] * 4 + ["r2"] * 2,
+            "path": ["a", "a", "b", "c", "a", "b"],
+            "last_seq": [1, 5, 2, 3, 4, 6],
+            "__ord": [1, 2, 1, 1, 1, 1],
+        }
+    )
+    out = _lww_fold(t, ["repo", "path"], ["last_seq", "__ord"])
+    got = {(r["repo"], r["path"]): r["last_seq"] for r in out.to_pylist()}
+    assert got == {
+        ("r1", "a"): 5,
+        ("r1", "b"): 2,
+        ("r1", "c"): 3,
+        ("r2", "a"): 4,
+        ("r2", "b"): 6,
+    }
