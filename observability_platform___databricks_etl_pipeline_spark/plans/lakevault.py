@@ -891,6 +891,7 @@ class LakeVault:
         key_range: tuple[str | None, str | None] | None = None,
         column_ranges: dict[str, tuple[Any, Any]] | None = None,
         column_equals: dict[str, Any] | None = None,
+        key_equals: tuple[Any, ...] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan. ``buckets`` prunes at file level via manifest
         metadata (reference analog: Delta partition filter ``02:69-74`` —
@@ -929,9 +930,38 @@ class LakeVault:
         dropping it would resurrect the stale matching base row).
         Rename promotion: files written under older schema versions are read
         with their original column names and re-mapped to current names by
-        column id; columns added later are backfilled as typed nulls."""
+        column id; columns added later are backfilled as typed nulls.
+
+        ``key_equals=(v0, v1, ...)`` is the FULLY-KEYED point probe: the
+        driver computes the key's bucket itself (plans/sparkhash.py — a
+        bit-exact Python replica of the murmur3 ``bucket_expr``), so one
+        bucket's manifests survive before key-range/stats/bloom pruning even
+        run — O(1/n_buckets) of the metadata touched, no Spark job. Also
+        folds into ``key_range`` and (for the first key) ``column_equals``.
+        Skipped — never wrong — when legacy bucket-less files exist.
+        Callers still apply the row predicate (same superset contract)."""
         snap = self.snapshot(snapshot_id)
         cur = snap.schema
+        if key_equals is not None:
+            if len(key_equals) != len(self.key_cols) or any(v is None for v in key_equals):
+                raise ValueError(
+                    "key_equals must provide one non-null value per key column "
+                    f"{tuple(self.key_cols)} (got {key_equals!r})"
+                )
+            if key_range is None:
+                key_range = (key_equals[0], key_equals[0])
+            if buckets is None and not any(f.get("bucket") is None for f in snap.files):
+                from observability_platform___databricks_etl_pipeline_spark.plans.sparkhash import bucket_of
+
+                by_name = {c["name"]: c for c in cur.columns}
+                nb = snap.n_buckets if snap.n_buckets is not None else self.table_meta["n_buckets"]
+                buckets = [
+                    bucket_of(
+                        list(key_equals),
+                        nb,
+                        types=[by_name[k]["type"] for k in self.key_cols],
+                    )
+                ]
         files = self.pruned_files(
             snap,
             buckets=buckets,

@@ -607,8 +607,28 @@ class _SnapshotBatchReader(DataSourceReader):
             key_range = (equals[key0], equals[key0])
         elif key0 in ranges:
             key_range = ranges[key0]
+        # fully-keyed point probe: the driver computes the bucket itself
+        # (plans/sparkhash.py is bit-exact with bucket_expr) — one bucket's
+        # manifests survive before any stats are consulted
+        buckets = None
+        if all(k in equals and equals[k] is not None for k in v.key_cols) and not any(
+            f.get("bucket") is None for f in snap.files  # legacy files: unscopable
+        ):
+            from observability_platform___databricks_etl_pipeline_spark.plans.sparkhash import bucket_of
+
+            by_name = {c["name"]: c for c in cur_cols}
+            buckets = [
+                bucket_of(
+                    [equals[k] for k in v.key_cols],
+                    snap.n_buckets
+                    if snap.n_buckets is not None
+                    else v.table_meta["n_buckets"],
+                    types=[by_name[k]["type"] for k in v.key_cols],
+                )
+            ]
         files = v.pruned_files(
             snap,
+            buckets=buckets,
             key_range=key_range,
             column_ranges=ranges or None,
             column_equals=equals or None,

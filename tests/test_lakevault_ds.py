@@ -332,3 +332,36 @@ def test_lww_fold_shared_key_prefix_regression():
         ("r2", "a"): 4,
         ("r2", "b"): 6,
     }
+
+
+def test_ds_fully_keyed_probe_prunes_to_one_bucket(spark, tmp_path):
+    """EqualTo on EVERY key column lets the planner hash the key itself
+    (plans/sparkhash.py) and keep only that bucket's files — the partition
+    count drops to the key's bucket, and rows still match scan()."""
+    from pyspark.sql.datasource import EqualTo
+
+    from observability_platform___databricks_etl_pipeline_spark.plans.sparkhash import bucket_of
+
+    root = str(tmp_path / "t")
+    v = LakeVault.create(spark, root, COLS, key_cols=("repo", "path"), n_buckets=16)
+    rows = [(f"org/r{i % 5}", f"f{i}.py", i, i, _ts(i % 60)) for i in range(200)]
+    _commit(spark, v, rows, "b0")
+    snap = v.snapshot()
+
+    rd = _SnapshotBatchReader({"path": root})
+    list(rd.pushFilters([EqualTo(("repo",), "org/r3"), EqualTo(("path",), "f13.py")]))
+    parts = rd.partitions()
+    b = bucket_of(["org/r3", "f13.py"], 16)
+    bucket_files = {f["path"] for f in snap.files if f["bucket"] == b}
+    planned = {f["path"] for p in parts for f in p.files}
+    assert planned == bucket_files
+
+    _register(spark)
+    ds = (
+        spark.read.format("lakevault")
+        .load(root)
+        .where((F.col("repo") == "org/r3") & (F.col("path") == "f13.py"))
+    )
+    assert [tuple(r) for r in ds.collect()] == [
+        ("org/r3", "f13.py", 13, 13, _ts(13))
+    ]
