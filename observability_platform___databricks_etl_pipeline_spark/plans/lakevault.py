@@ -1623,6 +1623,7 @@ class LakeVault:
         delta: bool = False,
         eq_delete: bool = False,
         guard_buckets: list[int] | None = None,
+        add_entries: list[dict[str, Any]] | None = None,
         max_conflict_retries: int = 10,
         base_snapshot_id: int | None = None,
     ) -> int:
@@ -1704,7 +1705,20 @@ class LakeVault:
             kept_refs = self._kept_refs(parent, replace_buckets, replace_all, tag)
 
             new_refs: list[dict[str, Any]] = []
-            if add_write_dir is not None:
+            if add_entries is not None:
+                # pre-registered entries (the stream writer computes stats
+                # EXECUTOR-side at write time and lists exact paths, so a
+                # retried task's orphan file in the same dir is never
+                # picked up): stamp the flags here, ordinal below
+                if entries_cache is None:
+                    entries_cache = [dict(e) for e in add_entries]
+                    for e in entries_cache:
+                        e.setdefault("schema_id", schema.schema_id)
+                        if delta:
+                            e["delta"] = True
+                        if eq_delete:
+                            e["eq_delete"] = True
+            if add_write_dir is not None or add_entries is not None:
                 if entries_cache is None:
                     # footer stats harvested ONCE; only the ordinal differs
                     # between attempts

@@ -93,7 +93,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -101,6 +103,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import (
@@ -717,6 +720,236 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
 
 # ---------------------------------------------------------------------------
+# writers: df.write / df.writeStream .format("lakevault") — delta-append
+# upserts with exactly-once microbatch commits
+# ---------------------------------------------------------------------------
+
+
+class _LakeVaultWriteMessage(WriterCommitMessage):
+    def __init__(self, entries: list[dict[str, Any]]):
+        self.entries = entries
+
+
+# string col stats longer than this are not recorded — mirrors the footer
+# harvester's soundness cap (lakevault._STAT_STR_MAX): a truncated max is
+# not an upper bound, and files without stats are conservatively kept
+_WRITE_STAT_STR_MAX = 64
+
+
+class _LakeVaultWriterCore:
+    """Shared executor/driver logic for the batch and streaming writers.
+
+    Rows are committed as DELTA APPENDS (merge-on-read upserts): the scan's
+    LWW fold resolves duplicate keys by ``(last_seq, commit ordinal)``, so
+    the sink is an UPSERT by table key — the same semantics the CDC engine's
+    write path produces, reachable from any Spark job via ``format()``.
+    The table must therefore carry ``last_seq``. Bucketing: pre-compute
+    ``__bucket`` JVM-side for the fast path::
+
+        from observability_platform___databricks_etl_pipeline_spark.plans.lakevault import LakeVault
+        df.withColumn("__bucket", LakeVault(None, root).bucket_expr())
+
+    (``bucket_expr`` needs no SparkSession — it reads table.json only).
+    Without ``__bucket`` the writer falls back to hashing keys row-by-row
+    in Python via plans/sparkhash.py — bit-identical, but the slow path;
+    fine for modest streams, wrong for a 100 TB backfill.
+
+    Exactly-once: each microbatch commits under batch id
+    ``lvds-<streamId>-<batchId>``; ``streamId`` defaults to a hash of the
+    sink's ``checkpointLocation`` so a restarted query replaying a batch
+    is a commit-level no-op. File-level safety: executors write uniquely
+    named files and the commit registers ONLY the paths listed in the task
+    commit messages, so a retried task's orphan file is never picked up
+    (it is swept once the staging dir goes dead — the same attempt-token
+    GC path every engine write uses)."""
+
+    def __init__(self, options: dict, input_schema):
+        self.options = dict(options)
+        v = _open_vault(self.options)
+        snap = v.snapshot()
+        names = snap.schema.names()
+        if "last_seq" not in names:
+            raise ValueError(
+                "lakevault writer delta-appends upserts resolved by "
+                "(last_seq, commit ordinal) — this table has no last_seq "
+                "column; write through LakeVault.commit/merge instead"
+            )
+        in_names = [f.name for f in input_schema.fields]
+        data_names = [n for n in in_names if n != "__bucket"]
+        if sorted(data_names) != sorted(names):
+            raise ValueError(
+                f"lakevault writer: input columns {sorted(data_names)} != "
+                f"table schema {sorted(names)} (plus optional __bucket)"
+            )
+        self.root = v.root
+        self.key_cols = list(v.key_cols)
+        self.schema_id = snap.schema.schema_id
+        self.cur_cols = _plain_cols(snap.schema)
+        by_name = {c["name"]: c for c in self.cur_cols}
+        self.key_types = [by_name[k]["type"] for k in self.key_cols]
+        self.n_buckets = (
+            snap.n_buckets if snap.n_buckets is not None else v.table_meta["n_buckets"]
+        )
+        self.write_dir = v.new_write_dir("dswriter")
+
+    # -- executor side ------------------------------------------------------
+
+    def write_batches(self, iterator) -> _LakeVaultWriteMessage:
+        import uuid as _uuid
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _LakeVaultWriteMessage([])
+        t = pa.Table.from_batches(batches)
+        if "__bucket" in t.column_names:
+            buckets = t.column("__bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.drop_columns(["__bucket"])
+        else:
+            from observability_platform___databricks_etl_pipeline_spark.plans.sparkhash import bucket_of
+
+            kcols = [t.column(k).to_pylist() for k in self.key_cols]
+            buckets = np.fromiter(
+                (
+                    bucket_of(list(vals), self.n_buckets, types=self.key_types)
+                    for vals in zip(*kcols)
+                ),
+                dtype=np.int64,
+                count=t.num_rows,
+            )
+        # align to the table schema (name → current arrow type)
+        arrays = []
+        fields = []
+        for c in self.cur_cols:
+            at = _ARROW_TYPE[c["type"]]
+            arrays.append(_normalize_arrow(t.column(c["name"]), at))
+            fields.append(pa.field(c["name"], at))
+        t = pa.table(arrays, schema=pa.schema(fields))
+        key0 = self.key_cols[0]
+        entries: list[dict[str, Any]] = []
+        for b in np.unique(buckets):
+            part = t.filter(pa.array(buckets == b))
+            full = os.path.join(self.write_dir, f"b{int(b)}-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(part, full)
+            # stats computed IN MEMORY at write time (Iceberg's rule: never
+            # re-open what you just wrote); col_stats mirror the footer
+            # harvester's soundness caps
+            col_stats: dict[str, list] = {}
+            for c in self.cur_cols:
+                col = part.column(c["name"])
+                if col.null_count == len(col):
+                    continue
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+                if isinstance(mn, str) and (
+                    len(mn) > _WRITE_STAT_STR_MAX or len(mx) > _WRITE_STAT_STR_MAX
+                ):
+                    continue
+                if isinstance(mn, (str, int, float, bool)):
+                    col_stats[c["name"]] = [mn, mx]
+            k = part.column(key0)
+            entry = {
+                "path": os.path.relpath(full, self.root),
+                "rows": part.num_rows,
+                "bytes": os.path.getsize(full),
+                "bucket": int(b),
+                "schema_id": self.schema_id,
+                "min_key": pc.min(k).as_py(),
+                "max_key": pc.max(k).as_py(),
+            }
+            if col_stats:
+                entry["col_stats"] = col_stats
+            entries.append(entry)
+        return _LakeVaultWriteMessage(entries)
+
+    # -- driver side ---------------------------------------------------------
+
+    def commit_entries(self, messages, batch_id: str | None) -> None:
+        entries = [e for m in messages if m is not None for e in m.entries]
+        v = _open_vault_with_spark(self.options)
+        if not entries:
+            if batch_id is not None:
+                # an empty microbatch still burns its batch id so a replay
+                # of it stays a no-op
+                v.commit(
+                    add_write_dir=None, replace_buckets=None, batch_id=batch_id,
+                    summary={"operation": "stream-append", "rows": 0},
+                )
+            return
+        v.commit(
+            add_write_dir=None,
+            add_entries=entries,
+            replace_buckets=None,
+            batch_id=batch_id,
+            delta=True,
+            summary={
+                "operation": "stream-append",
+                "rows": sum(e["rows"] for e in entries),
+            },
+        )
+
+    def abort_entries(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for e in m.entries:
+                try:
+                    os.unlink(os.path.join(self.root, e["path"]))
+                except OSError:
+                    pass
+
+    def batch_tag(self) -> str:
+        sid = self.options.get("streamid")
+        if sid is None:
+            ckpt = self.options.get("checkpointlocation")
+            if ckpt:
+                import hashlib
+
+                sid = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+        return sid
+
+
+def _open_vault_with_spark(options: dict) -> LakeVault:
+    """Driver-side commit needs no Spark job either (add_entries skips the
+    stat harvest), but attach the active session if one exists so future
+    maintenance calls on the handle work."""
+    from pyspark.sql import SparkSession
+
+    v = _open_vault(options)
+    v.spark = SparkSession.getActiveSession()
+    return v
+
+
+class _LakeVaultStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, core: _LakeVaultWriterCore):
+        self.core = core
+
+    def write(self, iterator):
+        return self.core.write_batches(iterator)
+
+    def commit(self, messages, batchId):  # noqa: N803 (API name)
+        sid = self.core.batch_tag()
+        batch_id = f"lvds-{sid}-{batchId}" if sid is not None else None
+        self.core.commit_entries(messages, batch_id)
+
+    def abort(self, messages, batchId):  # noqa: N803
+        self.core.abort_entries(messages)
+
+
+class _LakeVaultBatchWriter(DataSourceArrowWriter):
+    def __init__(self, core: _LakeVaultWriterCore):
+        self.core = core
+
+    def write(self, iterator):
+        return self.core.write_batches(iterator)
+
+    def commit(self, messages):
+        sid = self.core.options.get("batchid")
+        self.core.commit_entries(messages, f"lvds-{sid}" if sid is not None else None)
+
+    def abort(self, messages):
+        self.core.abort_entries(messages)
+
+
+# ---------------------------------------------------------------------------
 # the data source
 # ---------------------------------------------------------------------------
 
@@ -759,6 +992,18 @@ class LakeVaultDataSource(DataSource):
             )
         v = _open_vault(self.options)
         return _ChangesStreamReader(self.options, _plain_cols(v.snapshot().schema))
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "lakevault writer is append-only (delta upserts by table "
+                "key); use LakeVault.compact()/delete()/restore() for "
+                "rewrites instead of mode('overwrite')"
+            )
+        return _LakeVaultBatchWriter(_LakeVaultWriterCore(self.options, schema))
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return _LakeVaultStreamWriter(_LakeVaultWriterCore(self.options, schema))
 
 
 def register(spark) -> None:
