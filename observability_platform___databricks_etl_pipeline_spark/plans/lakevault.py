@@ -817,6 +817,7 @@ class LakeVault:
             (
                 f["path"], f.get("bucket"), f.get("schema_id"), f.get("ord"),
                 f.get("rows"), f.get("bytes"), bool(f.get("delta")),
+                bool(f.get("eq_delete")),
                 None if f.get("min_key") is None else str(f["min_key"]),
                 None if f.get("max_key") is None else str(f["max_key"]),
             )
@@ -824,7 +825,7 @@ class LakeVault:
         ]
         ddl = (
             "path string, bucket long, schema_id long, ord long, rows long, "
-            "bytes long, delta boolean, min_key string, max_key string"
+            "bytes long, delta boolean, eq_delete boolean, min_key string, max_key string"
         )
         return self.spark.createDataFrame(rows, ddl)
 
