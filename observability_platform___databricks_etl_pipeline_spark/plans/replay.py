@@ -594,7 +594,7 @@ class CDCEngine:
         spark = self.spark
         m = BatchMetrics(batch_id=bid, chunk=chunk)
         _t0 = time.perf_counter()
-        nshuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        nshuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         malformed = (
             F.col("seq").isNull()
@@ -908,7 +908,12 @@ class CDCEngine:
         # no per-batch sortWithinPartitions: key-clustering for scan locality
         # is compact()'s job (the Z-order analog runs as maintenance, not on
         # the hot path — sorting the whole table every batch bought nothing)
-        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0)
+        # no-default get: Spark 4 VALIDATES a fallback passed to conf.get
+        # ("0" is rejected), and the no-arg form returns the session's
+        # EFFECTIVE value anyway — exactly what the alignment check needs
+        # (a plain spark-submit session without an explicit setting crashed
+        # here before)
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         wopts = self.vault.data_write_options()
         if self.merge_strategy == "bucket_pandas":
             # the pandas reduction's output is already hash(__bucket)-
