@@ -47,7 +47,15 @@ def main() -> int:
 
     # under spark-submit the session inherits the submitted master/conf;
     # standalone it falls back to local[all]
-    spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+    # standalone (no spark-submit): the 1g driver default OOMs generating
+    # test WALs — size it like the engine's session factory does. Under a
+    # real spark-submit the JVM is already up and this config is inert; the
+    # submitted --conf/--driver-memory win.
+    spark = (
+        SparkSession.builder.appName("cdc-replay")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.gen_events:
