@@ -34,6 +34,14 @@ re-reading whole partitions)::
      .option("startingSnapshotId", 0)       # default: stream-start head
      .load("/data/mytable"))
 
+Write side (delta UPSERTS by table key; exactly-once per microbatch —
+see ``_LakeVaultWriterCore``)::
+
+    df.write.format("lakevault").mode("append").save("/data/mytable")
+    (df.writeStream.format("lakevault")
+     .option("checkpointLocation", ckpt)    # also seeds the exactly-once id
+     .start("/data/mytable"))
+
 Design notes (100 TB):
 
 - **Planning is manifest metadata only.** ``partitions()`` runs on the
@@ -81,8 +89,6 @@ equivalent of the format integration those notebooks get from the platform.
 
 from __future__ import annotations
 
-import json
-import math
 import os
 from typing import Any, Iterator
 
