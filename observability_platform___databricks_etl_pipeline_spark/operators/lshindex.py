@@ -113,6 +113,19 @@ class LshVaultIndex:
             _atomic_write_json(meta_path, meta)
         else:
             v = LakeVault.load(spark, root)
+            # the physical bucket count (2^n_planes) is fixed at table
+            # creation; a rebuild must keep the same plane count or the
+            # sign buckets no longer line up with the manifest buckets —
+            # different params need a fresh root (swap atomically above it)
+            existing = v.table_meta.get("n_buckets")
+            if existing != 2**n_planes:
+                raise ValueError(
+                    f"lsh index at {root} was built with "
+                    f"{existing.bit_length() - 1} planes ({existing} sign "
+                    f"buckets); rebuilding with n_planes={n_planes} would "
+                    "misalign sign buckets with manifest buckets — build "
+                    "a new root and swap, or keep n_planes"
+                )
         _atomic_write_json(
             os.path.join(v.vault_dir, "lsh.json"),
             {

@@ -136,3 +136,27 @@ def test_vault_lsh_index_rejects_murmur_ops(spark, tmp_path):
     idx = LshVaultIndex.build(spark, str(tmp_path / "idx"), corpus, n_planes=4)
     with pytest.raises(ValueError, match="bucket_fn"):
         idx.vault.bucket_expr()
+
+
+def test_vault_lsh_index_rebuild_plane_count_is_pinned(spark, tmp_path):
+    """The sign-bucket count (2^n_planes) is the table's physical bucket
+    count, fixed at creation: a rebuild over the same root with a different
+    n_planes must refuse loudly (misaligned sign vs manifest buckets), while
+    a same-plane rebuild stays a plain atomic replace."""
+    import pytest
+
+    rng = np.random.RandomState(7)
+    corpus = spark.createDataFrame(_rows(rng.standard_normal((40, DIM))), DDL)
+    root = str(tmp_path / "idx")
+    LshVaultIndex.build(spark, root, corpus, n_planes=4)
+    with pytest.raises(ValueError, match="misalign"):
+        LshVaultIndex.build(spark, root, corpus, n_planes=5)
+    # same plane count: rebuild succeeds and stays query-equivalent
+    idx = LshVaultIndex.build(spark, root, corpus, n_planes=4)
+    q = [float(x) for x in rng.standard_normal(DIM)]
+    got = [(r["vec_id"], r["cosine"]) for r in idx.topk(q, k=3).collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk(corpus, q, k=3, n_planes=4).collect()
+    ]
+    assert got == want
