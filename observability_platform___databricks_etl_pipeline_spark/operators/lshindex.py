@@ -126,6 +126,30 @@ class LshVaultIndex:
                     "misalign sign buckets with manifest buckets — build "
                     "a new root and swap, or keep n_planes"
                 )
+            # ALL plane parameters are pinned, not just the count: lsh.json
+            # is rewritten before the data commit, so a changed seed/dim
+            # would leave a crash window (and a concurrent-reader window)
+            # where probes hash with new planes against data bucketed under
+            # the old ones — silent near-zero recall. Same remedy: a new
+            # parameterization is a new root, swapped atomically above it.
+            try:
+                with open(os.path.join(v.vault_dir, "lsh.json")) as f:
+                    prev = json.load(f)
+            except FileNotFoundError:
+                prev = None  # crashed before first params write: free to set
+            want = {"dim": dim, "seed": seed, "id_col": id_col, "vec_col": vec_col}
+            stale = (
+                {k: (prev[k], want[k]) for k in want if prev[k] != want[k]}
+                if prev is not None
+                else {}
+            )
+            if stale:
+                raise ValueError(
+                    f"lsh index at {root} pins plane parameters "
+                    f"{ {k: v0 for k, (v0, _) in stale.items()} }; a rebuild "
+                    f"passed { {k: v1 for k, (_, v1) in stale.items()} } — "
+                    "build a new root and swap"
+                )
         _atomic_write_json(
             os.path.join(v.vault_dir, "lsh.json"),
             {
@@ -186,6 +210,11 @@ class LshVaultIndex:
         affected-bucket rows), metadata for everything else."""
         id_c, vec_c = self.id_col, self.vec_col
         udf = _corpus_bucket_udf(self.planes)
+        # pin the snapshot the kept-rows scan reads: a rebuild/refresh that
+        # lands in between must surface as CommitConflict, not be silently
+        # clobbered by this commit's replace_buckets (same rule as every
+        # bucket-scoped rewrite — compact/delete/update/merge)
+        base_sid = self.vault.current_snapshot_id()
 
         post = _valid_vectors(
             changes.where(F.col("_change_type") != "delete"), vec_c, self.dim
@@ -212,7 +241,7 @@ class LshVaultIndex:
             return []
         changed_ids = changes.select(F.col(id_c)).distinct()
         kept = (
-            self.vault.scan(buckets=affected)
+            self.vault.scan(snapshot_id=base_sid, buckets=affected)
             .join(F.broadcast(changed_ids), id_c, "left_anti")
         )
         rebuilt = kept.unionByName(post).withColumn("__bucket", F.col("__b"))
@@ -227,6 +256,7 @@ class LshVaultIndex:
             add_write_dir=wd,
             replace_buckets=affected,
             batch_id=None,
+            base_snapshot_id=base_sid,
             summary={"operation": "lsh_index_refresh", "buckets": affected},
         )
         return affected

@@ -598,8 +598,16 @@ class LakeVault:
         return its handle. Main-handle only; branch names are flat."""
         if self.branch_name:
             raise ValueError("create_branch from the main handle only")
-        if not name or "/" in name or name.startswith("."):
-            raise ValueError(f"invalid branch name {name!r}")
+        # '-' and '.' are structural in attempt tokens (``w-<branch>.<id>-…``
+        # staging dirs, ``fl-``/``seg-`` metadata names): a branch name
+        # containing either would make the GC's token parse read the wrong
+        # field — leaking crashed attempts forever or, worse, stripping the
+        # in-flight protection from live filelist/segment files
+        if not name or any(ch in name for ch in "/-.") or name.startswith("."):
+            raise ValueError(
+                f"invalid branch name {name!r} (letters/digits/underscore; "
+                "no '/', '-', or '.')"
+            )
         bdir = os.path.join(self.vault_dir, "branches", name)
         if os.path.isdir(bdir):
             raise ValueError(f"branch {name!r} already exists")
@@ -2261,6 +2269,28 @@ class LakeVault:
         missing = [k for k in keys if k not in source.columns]
         if missing:
             raise ValueError(f"merge source lacks key columns: {missing}")
+        # Key TYPES must match the table before anything hashes: the probe's
+        # bucket_expr hashes the source dtype, and murmur3(int 5) !=
+        # murmur3(long 5) — a mistyped key silently lands new files in
+        # buckets OUTSIDE replace_buckets (duplicate keys after commit).
+        # Lossless widenings are cast up front; anything else raises.
+        by_name = {c["name"]: c for c in snap.schema.columns}
+        src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+        for k in keys:
+            want_logical = by_name[k]["type"]
+            want = SPARK_TYPE.get(want_logical, want_logical)
+            have = src_types[k]
+            if have == want:
+                continue
+            have_logical = {v: lg for lg, v in SPARK_TYPE.items()}.get(have, have)
+            if (have_logical, want_logical) in TYPE_PROMOTIONS:
+                source = source.withColumn(k, F.col(k).cast(want))
+            else:
+                raise ValueError(
+                    f"merge source key column {k!r} is {have}, table expects "
+                    f"{want} — a mistyped key hashes to the wrong bucket; "
+                    "cast the source explicitly"
+                )
         names = snap.schema.names()
         if isinstance(when_matched_update, str):
             if when_matched_update != "source":

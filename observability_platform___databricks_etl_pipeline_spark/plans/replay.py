@@ -735,6 +735,21 @@ class CDCEngine:
                         raise ValueError("promote_type on a key column")
                     schema = schema.promote_column(p["column"], p["type"])
                 else:
+                    # base columns (identity, LWW order, transform inputs)
+                    # and key columns are referenced BY NAME throughout the
+                    # engine (bucket_expr, merge, sanitize) — a WAL rename
+                    # of one would commit a schema that bricks every later
+                    # replay batch, the same poison the drop/promote guards
+                    # reject. Only evolved (extra) columns are renamable.
+                    by_name = {c["name"]: c for c in schema.columns}
+                    if p["from"] not in by_name:
+                        raise KeyError(p["from"])
+                    base_ids = {i + 1 for i in range(len(BASE_COLUMNS))}
+                    if (
+                        by_name[p["from"]]["id"] in base_ids
+                        or p["from"] in self.vault.key_cols
+                    ):
+                        raise ValueError("rename_column on a base/key column")
                     schema = schema.rename_column(p["from"], p["to"])
             except (KeyError, ValueError):
                 m.schema_ops_invalid += 1

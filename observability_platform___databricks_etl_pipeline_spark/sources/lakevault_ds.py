@@ -222,7 +222,6 @@ def _group_read_partitions(
                 schemas={},
                 cur_cols=cur_cols,
                 key_cols=key_cols,
-                need_merge=False,
             )
         ]
     merge_buckets = {f["bucket"] for f in entries if f["delta"] or f["eq_delete"]}
@@ -236,7 +235,6 @@ def _group_read_partitions(
                 schemas=_schemas_payload(snap, grp),
                 cur_cols=cur_cols,
                 key_cols=key_cols,
-                need_merge=True,
             )
         ]
     by_bucket: dict[Any, list[dict]] = {}
@@ -251,7 +249,6 @@ def _group_read_partitions(
                     schemas=_schemas_payload(snap, [f]),
                     cur_cols=cur_cols,
                     key_cols=key_cols,
-                    need_merge=False,
                 )
             )
     for _, grp in sorted(by_bucket.items()):
@@ -262,7 +259,6 @@ def _group_read_partitions(
                 schemas=_schemas_payload(snap, grp),
                 cur_cols=cur_cols,
                 key_cols=key_cols,
-                need_merge=True,
             )
         )
     return parts
@@ -460,7 +456,13 @@ def _diff_rows(
     for c in non_key:
         a, b = m[f"{c}__a"], m[f"{c}__b"]
         eq = (a == b)
-        eq = eq.fillna(False) | (a.isna() & b.isna())
+        # parity with scan_changes' eqNullSafe: null==null AND NaN==NaN are
+        # both "unchanged" in Spark (NaN is a value that equals itself);
+        # plain pandas == says NaN != NaN, which would emit a spurious
+        # 'update' for every NaN-carrying row in a touched bucket
+        a_nan = (a != a).fillna(False).astype(bool)
+        b_nan = (b != b).fillna(False).astype(bool)
+        eq = eq.fillna(False) | (a.isna() & b.isna()) | (a_nan & b_nan)
         changed |= ~eq.astype(bool)
     kind = np.where(
         ~in_a.to_numpy(dtype=bool),
@@ -489,13 +491,12 @@ def _diff_rows(
 
 
 class _ScanPartition(InputPartition):
-    def __init__(self, root, files, schemas, cur_cols, key_cols, need_merge):
+    def __init__(self, root, files, schemas, cur_cols, key_cols):
         self.root = root
         self.files = files
         self.schemas = schemas
         self.cur_cols = cur_cols
         self.key_cols = key_cols
-        self.need_merge = need_merge
 
 
 class _ChangesPartition(InputPartition):
@@ -830,6 +831,12 @@ class _LakeVaultWriterCore:
             arrays.append(_normalize_arrow(t.column(c["name"]), at))
             fields.append(pa.field(c["name"], at))
         t = pa.table(arrays, schema=pa.schema(fields))
+        # the staging dir lives for the WRITER's lifetime, but its attempt
+        # token goes stale after the first commit — a long-idle stream can
+        # have it swept by expire_snapshots' orphan GC (empty + past grace).
+        # Recreate on demand: a freshly re-made dir has a recent mtime, so
+        # the sweep's grace window protects it again while tasks write.
+        os.makedirs(self.write_dir, exist_ok=True)
         key0 = self.key_cols[0]
         entries: list[dict[str, Any]] = []
         for b in np.unique(buckets):
@@ -870,6 +877,18 @@ class _LakeVaultWriterCore:
 
     def commit_entries(self, messages, batch_id: str | None) -> None:
         entries = [e for m in messages if m is not None for e in m.entries]
+        # belt for the GC race above: never register a path the sweep won
+        # against — fail the batch loudly (the stream restarts and rewrites)
+        # instead of committing a manifest that points at deleted files
+        gone = [e["path"] for e in entries
+                if not os.path.exists(os.path.join(self.root, e["path"]))]
+        if gone:
+            raise RuntimeError(
+                f"lakevault writer: {len(gone)} staged file(s) vanished "
+                f"before commit (first: {gone[0]}) — likely swept by "
+                "expire_snapshots orphan GC racing this write; raise "
+                "orphan_grace_sec above the stream's idle period"
+            )
         v = _open_vault_with_spark(self.options)
         if not entries:
             if batch_id is not None:
@@ -1009,6 +1028,13 @@ class LakeVaultDataSource(DataSource):
         return _LakeVaultBatchWriter(_LakeVaultWriterCore(self.options, schema))
 
     def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        if overwrite:
+            raise ValueError(
+                "lakevault streaming sink is append-only delta upserts; "
+                "outputMode('complete') truncate-each-batch semantics are "
+                "not implemented — use outputMode('append') or 'update' "
+                "(per-key upserts are exactly this sink's semantics)"
+            )
         return _LakeVaultStreamWriter(_LakeVaultWriterCore(self.options, schema))
 
 

@@ -207,6 +207,12 @@ def test_branch_guards(spark, tmp_path):
         v.branch("nope")
     with pytest.raises(ValueError):
         v.create_branch("bad/name")
+    # '-' and '.' are structural in attempt tokens (w-<branch>.<id>-…):
+    # a dashed/dotted branch name would break the GC's token parse
+    with pytest.raises(ValueError):
+        v.create_branch("my-branch")
+    with pytest.raises(ValueError):
+        v.create_branch("my.branch")
     # empty branch publish is a no-op fast path
     assert v.publish_branch("x") == v.current_snapshot_id()
     assert "x" not in v.branches()

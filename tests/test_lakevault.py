@@ -1028,6 +1028,13 @@ def test_merge_guards(spark, tmp_path):
     missing = spark.createDataFrame([(1.0,)], "score double")
     with pytest.raises(ValueError, match="lacks key columns"):
         v.merge(missing)
+    # mistyped key: murmur3 of the wrong dtype hashes to the wrong bucket,
+    # which would land files outside replace_buckets — must raise up front
+    mistyped = spark.createDataFrame(
+        [(0, "f0.py", 1.0)], "repo long, path string, score double"
+    )
+    with pytest.raises(ValueError, match="wrong bucket"):
+        v.merge(mistyped)
     assert v.current_snapshot_id() == sid  # nothing committed
 
 

@@ -444,3 +444,44 @@ def test_drop_column_unit():
     }["q"]
     with pytest.raises(KeyError):
         s2.drop_column("q")  # already gone
+
+
+def test_rename_of_base_or_key_column_is_skipped_as_invalid(spark, tmp_path):
+    """A WAL rename of a base or key column is a poison event: the engine
+    references those names everywhere (bucket_expr, merge, sanitize), so
+    committing the rename would brick every later batch. It must be counted
+    invalid and skipped — same policy as drop_column/promote_type on them."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from observability_platform___databricks_etl_pipeline_spark.gen.changelog import write_wal
+    from observability_platform___databricks_etl_pipeline_spark.plans.replay import CDCEngine
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(seq, op, props, repo="r1", path="a.py", commit="c", content="x"):
+        return (seq, T0 + dt.timedelta(seconds=seq), repo, path, commit, op, None, content, props)
+
+    rows = [
+        ev(1, "insert", None),
+        ev(2, "rename_column", {"from": "repo", "to": "r2"}),      # key: invalid
+        ev(3, "rename_column", {"from": "content", "to": "body"}), # base: invalid
+        ev(4, "add_column", {"column": "quality", "type": "double"}),
+        ev(5, "rename_column", {"from": "quality", "to": "score"}),  # evolved: fine
+        ev(6, "update", {"quality": "0.5"}),
+    ]
+    schema = ("seq long, ts timestamp, repo string, path string, commit string,"
+              " op string, lang string, content string, props map<string,string>")
+    wal = str(tmp_path / "wal")
+    write_wal(spark.createDataFrame(rows, schema), wal, chunk_size=10)
+    eng = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False)
+    res = eng.replay(wal)
+    assert sum(b.schema_ops_invalid for b in res.batches) == 2
+    state = eng.current_state()
+    assert "repo" in state.columns and "content" in state.columns
+    assert "score" in state.columns and "quality" not in state.columns
+    assert state.where(F.col("score") == 0.5).count() == 1
+    # replay is still resumable (nothing poisoned): a second replay no-ops
+    res2 = CDCEngine(spark, str(tmp_path / "tbl"), n_buckets=4, with_rollup=False).replay(wal)
+    assert all(b.skipped for b in res2.batches)
