@@ -45,3 +45,16 @@ def classify_op_series(op: pd.Series, content: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def classify_op_udf(op: pd.Series, content: pd.Series) -> pd.Series:
     return classify_op_series(op, content)
+
+
+def classify_op_expr(op: "F.Column", content: "F.Column") -> "F.Column":
+    """Native-expression equivalent of ``classify_op_series`` (same alias
+    table, same null/unknown fallback) — zero-Python codegen path for the
+    replay hot loop; equivalence is pinned by tests/test_transform_native.py."""
+    norm = F.lower(F.trim(op))
+    mapped = None
+    for k, v in _ALIASES.items():
+        cond = norm == k
+        mapped = F.when(cond, F.lit(v)) if mapped is None else mapped.when(cond, F.lit(v))
+    fallback = F.when(content.isNull(), F.lit("delete")).otherwise(F.lit("update"))
+    return F.coalesce(mapped, fallback)

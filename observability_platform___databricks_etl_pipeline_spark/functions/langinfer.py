@@ -66,6 +66,27 @@ def infer_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
     return infer_lang_series(path, content)
 
 
+def infer_lang_expr(path: "F.Column", content: "F.Column") -> "F.Column":
+    """Native-expression equivalent of ``infer_lang_series``: extension map
+    first, then the content-heuristic rules in the same first-match priority
+    order (Java ``RLIKE`` is a substring search like ``re.search``).
+    Equivalence is pinned by tests/test_transform_native.py."""
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    by_ext = None
+    for k, v in EXT_LANG.items():
+        cond = ext == k
+        by_ext = F.when(cond, F.lit(v)) if by_ext is None else by_ext.when(cond, F.lit(v))
+    c = F.coalesce(content, F.lit(""))
+    rules = (
+        F.when(c.startswith("#!/bin/"), F.lit("shell"))
+        .when(c.rlike(r"#!.*\bpython"), F.lit("python"))
+        .when(c.rlike(r"\bdef \w+\(|\bimport \w+"), F.lit("python"))
+        .when(c.rlike(r"\bfn \w+\(.*\)\s*->"), F.lit("rust"))
+        .when(c.rlike(r"\bfunc \w+\("), F.lit("go"))
+    )
+    return F.coalesce(by_ext, rules, F.lit("unknown"))
+
+
 def lang_from_extension_expr(path_col: str) -> "F.Column":
     """Native CASE-chain over the extension map (oracle-replicable in SQL)."""
     ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))

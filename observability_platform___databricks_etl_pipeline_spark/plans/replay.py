@@ -818,52 +818,91 @@ class CDCEngine:
 
         live_old = F.col("old_seq").isNotNull() & ~F.coalesce(F.col("old_deleted"), F.lit(False))
 
-        # Single-path finish: the fused transform UDF (classify + sanitize +
-        # lang-infer, one Arrow round trip — north rule: vectorized pandas
-        # UDFs, never per-row Python) is evaluated over the merged rows and
-        # applied only where the batch won (src=1); carried table rows pass
-        # through untouched. The merge streams through exactly once (no
-        # persist): the rollup's second pass reads the bucket files this
-        # batch just wrote, which carry __action for that purpose.
+        # Single-path finish: the fused transform (classify + sanitize +
+        # lang-infer) runs as NATIVE whole-stage-codegen expressions — the
+        # r6 optimization (guide §4.1: built-ins beat even Arrow UDFs; the
+        # Arrow round trip alone was measured at ~13.6 s of the 42.6 s merge
+        # phase at 20M events/local[32]). Every expression is gated on
+        # ``is_batch``, so carried table rows skip the regex work entirely
+        # inside codegen (the pandas UDF paid the boundary for every merged
+        # row). Each expensive intermediate (__op, __san, __lang_new) is its
+        # own column: CollapseProject keeps multiply-referenced non-cheap
+        # aliases in separate projections, so sanitize runs ONCE per row even
+        # though content and content_sha256 both read it. Equivalence with
+        # the pandas kernels is pinned by tests/test_transform_native.py;
+        # CDC_TRANSFORM=pandas selects the previous fused-UDF path (kept for
+        # A/B and as the §2.10 vectorized-UDF surface).
         is_batch = src == 1
-        b = (
-            merged.withColumn(
-                "__t", transform_udf(F.col("op"), F.col("path"), F.col("content"))
+        if os.environ.get("CDC_TRANSFORM", "native") == "pandas":
+            b = self._apply_transform_pandas(merged, is_batch, live_old)
+        else:
+            from observability_platform___databricks_etl_pipeline_spark.functions.classify import (
+                classify_op_expr,
             )
-            .withColumn("__op", F.when(is_batch, F.col("__t.op")))
-            .withColumn(
-                "content", F.when(is_batch, F.col("__t.content")).otherwise(F.col("content"))
+            from observability_platform___databricks_etl_pipeline_spark.functions.langinfer import (
+                infer_lang_expr,
             )
-            .withColumn(
-                "content_sha256",
-                F.when(is_batch, content_sha256(F.col("__t.content"))).otherwise(
-                    F.col("content_sha256")
-                ),
+            from observability_platform___databricks_etl_pipeline_spark.functions.sanitize import (
+                sanitize_guarded_expr,
             )
-            .withColumn(
-                "lang",
-                F.when(is_batch, F.coalesce(F.col("lang"), F.col("__t.lang"))).otherwise(
-                    F.col("lang")
-                ),
-            )
-            .withColumn(
-                "is_deleted",
-                F.when(is_batch, F.col("__t.op") == "delete").otherwise(F.col("is_deleted")),
-            )
-            .withColumn(
-                "__action",
-                F.when(
-                    ~is_batch,
-                    F.when(F.col("new_seq").isNull(), F.lit("carry")).otherwise(F.lit("stale")),
+
+            b = (
+                merged.withColumn(
+                    "__op",
+                    F.when(is_batch, classify_op_expr(F.col("op"), F.col("content"))),
                 )
-                .when(
-                    F.col("__t.op") == "delete",
-                    F.when(live_old, F.lit("delete")).otherwise(F.lit("delete_noop")),
+                .withColumn(
+                    "__san",
+                    F.when(
+                        is_batch & (F.col("__op") != "delete"),
+                        sanitize_guarded_expr(F.col("content")),
+                    ),
                 )
-                .when(live_old, F.lit("update"))
-                .otherwise(F.lit("insert")),
+                .withColumn(
+                    "__lang_new",
+                    F.when(
+                        is_batch & F.col("lang").isNull(),
+                        infer_lang_expr(F.col("path"), F.col("__san")),
+                    ),
+                )
+                .withColumn(
+                    "content",
+                    F.when(is_batch, F.col("__san")).otherwise(F.col("content")),
+                )
+                .withColumn(
+                    "content_sha256",
+                    F.when(is_batch, content_sha256(F.col("__san"))).otherwise(
+                        F.col("content_sha256")
+                    ),
+                )
+                .withColumn(
+                    "lang",
+                    F.when(
+                        is_batch, F.coalesce(F.col("lang"), F.col("__lang_new"))
+                    ).otherwise(F.col("lang")),
+                )
+                .withColumn(
+                    "is_deleted",
+                    F.when(is_batch, F.col("__op") == "delete").otherwise(
+                        F.col("is_deleted")
+                    ),
+                )
+                .withColumn(
+                    "__action",
+                    F.when(
+                        ~is_batch,
+                        F.when(F.col("new_seq").isNull(), F.lit("carry")).otherwise(
+                            F.lit("stale")
+                        ),
+                    )
+                    .when(
+                        F.col("__op") == "delete",
+                        F.when(live_old, F.lit("delete")).otherwise(F.lit("delete_noop")),
+                    )
+                    .when(live_old, F.lit("update"))
+                    .otherwise(F.lit("insert")),
+                )
             )
-        )
         for c in extra_cols:
             b = b.withColumn(
                 c["name"],
@@ -1026,21 +1065,74 @@ class CDCEngine:
 
         return m
 
+    def _apply_transform_pandas(self, merged: DataFrame, is_batch, live_old) -> DataFrame:
+        """The pre-r6 fused pandas-UDF transform path (one Arrow round trip),
+        selectable via CDC_TRANSFORM=pandas — kept as the vectorized-UDF
+        surface and the A/B reference for the native-expression default."""
+        return (
+            merged.withColumn(
+                "__t", transform_udf(F.col("op"), F.col("path"), F.col("content"))
+            )
+            .withColumn("__op", F.when(is_batch, F.col("__t.op")))
+            .withColumn(
+                "content", F.when(is_batch, F.col("__t.content")).otherwise(F.col("content"))
+            )
+            .withColumn(
+                "content_sha256",
+                F.when(is_batch, content_sha256(F.col("__t.content"))).otherwise(
+                    F.col("content_sha256")
+                ),
+            )
+            .withColumn(
+                "lang",
+                F.when(is_batch, F.coalesce(F.col("lang"), F.col("__t.lang"))).otherwise(
+                    F.col("lang")
+                ),
+            )
+            .withColumn(
+                "is_deleted",
+                F.when(is_batch, F.col("__t.op") == "delete").otherwise(F.col("is_deleted")),
+            )
+            .withColumn(
+                "__action",
+                F.when(
+                    ~is_batch,
+                    F.when(F.col("new_seq").isNull(), F.lit("carry")).otherwise(F.lit("stale")),
+                )
+                .when(
+                    F.col("__t.op") == "delete",
+                    F.when(live_old, F.lit("delete")).otherwise(F.lit("delete_noop")),
+                )
+                .when(live_old, F.lit("update"))
+                .otherwise(F.lit("insert")),
+            )
+        )
+
     def _merge_maxby(self, both: DataFrame, val_cols: list[str]) -> DataFrame:
-        """Default merge: ONE hash aggregation — max_by(payload, (last_seq,
-        src, content)) per (repo, path). Partial (map-side) aggregation
-        collapses duplicate/stale rows before the exchange, so a hot key
-        reduces to ~one row per mapper. The agg's exchange doubles as the
-        bucket distribution (murmur3-aligned), so the bucket write is
-        shuffle-free when n_buckets divides shuffle.partitions."""
+        """Default merge: ONE aggregation — max_by(payload, (last_seq, src,
+        content)) per (repo, path), fed by an explicit repartition on the key.
+
+        r6 physical-plan fix: max_by's buffer holds var-len structs, which
+        HashAggregateExec cannot mutate in place, so Spark plans this as
+        SortAggregate — and the default partial+final pair SORTED the full
+        content-bearing batch TWICE (map side and reduce side) and shuffled
+        the partial buffers, which carry content in BOTH the ordering struct
+        and the value struct (content crossed the wire twice). Exchanging the
+        raw rows first (one shuffle, content once, no sort) lets one reduce-
+        side Sort feed both agg phases: measured 10.8-14.7 s → 5.4-6.6 s for
+        the 10M-row batch agg at local[32]. Trade-off, documented: a single
+        pathologically hot (repo, path) key no longer collapses map-side —
+        its rows sort on one reduce task; two-level (key, salt) aggregation
+        remains the escape hatch for that shape (operators/dedup.py::
+        salted_repartition). The repartition's HashPartitioning(repo, path)
+        is murmur3-aligned with bucket_expr, so the bucket write downstream
+        stays shuffle-free when n_buckets divides shuffle.partitions."""
         src = F.col("__src")
         wpay = F.struct(*[F.col(c) for c in val_cols])
-        # NOTE: the exchange this agg plans is ALSO the bucket distribution —
-        # bucket_expr is murmur3-aligned with HashPartitioning(repo, path),
-        # so the bucket write downstream is shuffle-free when n_buckets
-        # divides spark.sql.shuffle.partitions.
+        nshuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return (
-            both.groupBy("repo", "path")
+            both.repartition(nshuffle, "repo", "path")
+            .groupBy("repo", "path")
             .agg(
                 F.max_by(
                     wpay,
