@@ -797,6 +797,15 @@ class CDCEngine:
             else:
                 sel.append(F.lit(None).cast(typ).alias(c["name"]))
         ex = existing.select(*sel).withColumn("__src", F.lit(0))
+        # r6 (guide §2.3, project before the exchange): the merge only ever
+        # reads ``props`` to extract the evolved columns' keys, and the set of
+        # evolved columns is known BEFORE the merge (schema events are
+        # chunk-aligned barriers) — so extract exactly those values here and
+        # drop the map from the shuffled/sorted rows.
+        prop_cols = [
+            F.col("props").getItem(c.get("prop", c["name"])).alias(f"__prop_{c['id']}")
+            for c in extra_cols
+        ]
         b_in = data.select(
             F.col("repo"),
             F.col("path"),
@@ -805,7 +814,7 @@ class CDCEngine:
             F.col("content"),
             F.col("seq").alias("last_seq"),
             F.col("op"),
-            F.col("props"),
+            *prop_cols,
             F.lit(1).alias("__src"),
         )
         both = ex.unionByName(b_in, allowMissingColumns=True)
@@ -907,7 +916,7 @@ class CDCEngine:
             b = b.withColumn(
                 c["name"],
                 F.when(
-                    is_batch, F.col("props").getItem(c.get("prop", c["name"])).cast(c["type"])
+                    is_batch, F.col(f"__prop_{c['id']}").cast(c["type"])
                 ).otherwise(F.col(c["name"]).cast(c["type"])),
             )
         out_meta = b
