@@ -30,7 +30,7 @@ JVM where it belongs.
 from __future__ import annotations
 
 import struct
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 _MASK = 0xFFFFFFFF
@@ -124,9 +124,15 @@ def _hash_one(value: Any, seed: int, spark_type: str | None = None) -> int:
         return _hash_long(bits, seed)
     if isinstance(value, datetime):
         # TimestampType = microseconds since epoch, hashed as long; naive
-        # datetimes are taken as UTC (the engine pins a UTC session)
+        # datetimes are taken as UTC (the engine pins a UTC session).
+        # Exact integer arithmetic (timedelta floor-division is exact): the
+        # previous int(total_seconds())*1e6 + microsecond truncated toward
+        # zero, so any PRE-EPOCH timestamp with a sub-second component hashed
+        # to the wrong value (and float total_seconds() rounds for far-future
+        # dates) — a wrong bucket would make key_equals pruning silently
+        # return no rows (r5 ADVICE, medium).
         dt = value if value.tzinfo is not None else value.replace(tzinfo=timezone.utc)
-        micros = int((dt - _EPOCH).total_seconds()) * 1_000_000 + dt.microsecond
+        micros = (dt - _EPOCH) // timedelta(microseconds=1)
         return _hash_long(micros, seed)
     raise TypeError(f"spark_murmur3: unsupported probe type {type(value).__name__}")
 

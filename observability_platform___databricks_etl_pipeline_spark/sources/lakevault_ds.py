@@ -395,6 +395,13 @@ def _apply_eq_deletes_arrow(
         d["__del_ord"] = f["ord"]
         dparts.append(d)
     dels = pd.concat(dparts, ignore_index=True)
+    # Spark join semantics: a null-keyed delete row matches NOTHING (nulls
+    # never compare equal in joins), while pandas merge pairs NaN keys —
+    # drop them explicitly before building the max-ordinal probe (r5 ADVICE;
+    # groupby's dropna already did this implicitly, made load-bearing here)
+    dels = dels[dels[key_cols].notna().all(axis=1)]
+    if dels.empty:
+        return out
     dmax = dels.groupby(key_cols, as_index=False)["__del_ord"].max()
     probe = pd.DataFrame({k: out.column(k).to_pandas() for k in key_cols})
     probe["__ord"] = out.column("__ord").to_pandas()
@@ -421,7 +428,13 @@ def _lww_fold(t: pa.Table, key_cols: list[str], tie_cols: list[str]) -> pa.Table
     same = np.ones(max(n - 1, 0), dtype=bool)
     for k in key_cols:
         col = t.column(k).to_numpy(zero_copy_only=False)
-        same &= col[:-1] == col[1:]
+        eq = col[:-1] == col[1:]
+        if col.dtype.kind == "f":
+            # NaN keys: Spark's groupBy folds NaN==NaN into one group; plain
+            # numpy == says NaN != NaN and would keep duplicate rows for a
+            # NaN-keyed float key (r5 ADVICE)
+            eq |= (col != col)[:-1] & (col != col)[1:]
+        same &= eq
     keep = np.ones(n, dtype=bool)
     keep[:-1] = ~same
     return t.filter(pa.array(keep))
@@ -449,6 +462,14 @@ def _diff_rows(
     (keys..., _change_type, post-or-pre image..., _before struct|None)."""
     bdf = before.to_pandas(types_mapper=pd.ArrowDtype)
     adf = after.to_pandas(types_mapper=pd.ArrowDtype)
+    # Spark's scan_changes full-outer join never matches null keys, while
+    # pandas merge pairs them — route null-keyed rows around the merge so
+    # they surface as a bare delete (before side) / insert (after side),
+    # exactly like the native path (r5 ADVICE)
+    b_nullkey = ~bdf[key_cols].notna().all(axis=1) if len(bdf) else pd.Series(dtype=bool)
+    a_nullkey = ~adf[key_cols].notna().all(axis=1) if len(adf) else pd.Series(dtype=bool)
+    null_b, bdf = (bdf[b_nullkey], bdf[~b_nullkey]) if len(bdf) else (bdf, bdf)
+    null_a, adf = (adf[a_nullkey], adf[~a_nullkey]) if len(adf) else (adf, adf)
     m = bdf.merge(adf, on=key_cols, how="outer", suffixes=("__a", "__b"), indicator=True)
     in_a = (m["_merge"] == "left_only") | (m["_merge"] == "both")
     in_b = (m["_merge"] == "right_only") | (m["_merge"] == "both")
@@ -483,6 +504,13 @@ def _diff_rows(
         image = tuple(_py(col[i]) for col in img)
         before_struct = None if k == "insert" else tuple(_py(col[i]) for col in a_vals)
         yield tuple(_py(col[i]) for col in keys) + (k,) + image + (before_struct,)
+    # null-keyed rows bypassed the merge: before-side rows are deletes with
+    # themselves as the pre-image, after-side rows are inserts
+    for frame, kind in ((null_b, "delete"), (null_a, "insert")):
+        for _, r in frame.iterrows():
+            image = tuple(_py(r[c]) for c in non_key)
+            before_struct = None if kind == "insert" else image
+            yield tuple(_py(r[c]) for c in key_cols) + (kind,) + image + (before_struct,)
 
 
 # ---------------------------------------------------------------------------
@@ -801,13 +829,32 @@ class _LakeVaultWriterCore:
 
     # -- executor side ------------------------------------------------------
 
+    # bound on the arrow bytes one write chunk accumulates before flushing —
+    # a large backfill partition no longer materializes as ONE in-memory
+    # table (r5 ADVICE: executor OOM risk); more chunks mean more small
+    # files, which compact() folds afterwards (documented requirement for
+    # large batch writes through this slow path).
+    _WRITE_CHUNK_BYTES = 256 * 1024 * 1024
+
     def write_batches(self, iterator) -> _LakeVaultWriteMessage:
+        entries: list[dict[str, Any]] = []
+        pend: list[pa.RecordBatch] = []
+        pend_bytes = 0
+        for b in iterator:
+            if not b.num_rows:
+                continue
+            pend.append(b)
+            pend_bytes += b.nbytes
+            if pend_bytes >= self._WRITE_CHUNK_BYTES:
+                entries.extend(self._write_chunk(pa.Table.from_batches(pend)))
+                pend, pend_bytes = [], 0
+        if pend:
+            entries.extend(self._write_chunk(pa.Table.from_batches(pend)))
+        return _LakeVaultWriteMessage(entries)
+
+    def _write_chunk(self, t: pa.Table) -> list[dict[str, Any]]:
         import uuid as _uuid
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _LakeVaultWriteMessage([])
-        t = pa.Table.from_batches(batches)
         if "__bucket" in t.column_names:
             buckets = t.column("__bucket").to_numpy(zero_copy_only=False).astype(np.int64)
             t = t.drop_columns(["__bucket"])
@@ -839,7 +886,7 @@ class _LakeVaultWriterCore:
         os.makedirs(self.write_dir, exist_ok=True)
         key0 = self.key_cols[0]
         entries: list[dict[str, Any]] = []
-        for b in np.unique(buckets):
+        for b in np.unique(buckets):  # noqa: B007 — chunk-scoped bucket loop
             part = t.filter(pa.array(buckets == b))
             full = os.path.join(self.write_dir, f"b{int(b)}-{_uuid.uuid4().hex}.parquet")
             pq.write_table(part, full)
@@ -871,7 +918,7 @@ class _LakeVaultWriterCore:
             if col_stats:
                 entry["col_stats"] = col_stats
             entries.append(entry)
-        return _LakeVaultWriteMessage(entries)
+        return entries
 
     # -- driver side ---------------------------------------------------------
 

@@ -52,6 +52,12 @@ def test_numeric_and_temporal_types_match_f_hash(spark):
         for _ in range(100)
     ]
     rows.append((0, 0, -0.0, False, datetime.datetime(1970, 1, 1)))
+    # pre-epoch with sub-second component + far-future: the int(total_
+    # seconds()) truncation bug hashed both wrong (r5 ADVICE, fixed r6 with
+    # exact timedelta floor-division)
+    rows.append((1, 1, 1.0, True, datetime.datetime(1969, 12, 31, 23, 59, 59, 500000)))
+    rows.append((2, 2, 2.0, False, datetime.datetime(1901, 7, 4, 3, 2, 1, 123457)))
+    rows.append((3, 3, 3.0, True, datetime.datetime(2260, 1, 2, 3, 4, 5, 999999)))
     rows.append((None, None, None, None, None))
     ddl = "i int, l long, d double, b boolean, ts timestamp"
     got = [
