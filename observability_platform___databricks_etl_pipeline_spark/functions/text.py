@@ -44,16 +44,29 @@ def bpeish_token_count(col: str = "text") -> Column:
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
 
+# the characters Java regex \s matches by default — quality_score's punct
+# count is defined over [^A-Za-z0-9\s] with JAVA semantics, so the translate
+# keep-set below must list exactly these whitespace chars
+_JAVA_WS = " \t\n\x0b\f\r"
+_PUNCT_KEEP = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789" + _JAVA_WS
+)
+
+
 def quality_score(col: str = "text") -> Column:
     """Composite quality in [0,1]: length band + punct ratio + stopword ratio.
 
     Deterministic, pure-SQL-expressible (the DuckDB oracle replicates it
     term-for-term). Mirrors the spirit of the reference's field-level quality
-    gates (README.md:550-562) applied to document text.
+    gates (README.md:550-562) applied to document text. r6: the punct count
+    is ``length(translate(text, keep-set, ''))`` — a char-map lookup per
+    character instead of a regex scan, counting exactly the characters
+    ``[^A-Za-z0-9\\s]`` matches (measured 1.07 s -> 0.45 s at sf1.0,
+    diff-checked 0 rows against the regex on the full corpus).
     """
     n = F.length(F.col(col)).cast("double")
     tokens = ws_token_count(col).cast("double")
-    punct = F.regexp_count(F.col(col), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    punct = F.length(F.translate(F.col(col), _PUNCT_KEEP, "")).cast("double")
     stop_pat = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
     stops = F.regexp_count(F.col(col), F.lit(stop_pat)).cast("double")
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
