@@ -958,6 +958,21 @@ class CDCEngine:
         # content-bearing merge frame (round-1 issue: rollup 2×'d the data
         # phase; a MEMORY_AND_DISK persist still paid a full columnar cache
         # build of the payload)
+        if os.environ.get("CDC_EXPLAIN_DIR"):
+            # instrumentation only (guide §7.2): dump the merge+transform
+            # plan that feeds the bucket write, one file per batch
+            try:
+                ed = os.environ["CDC_EXPLAIN_DIR"]
+                os.makedirs(ed, exist_ok=True)
+                plan = out._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+                with open(os.path.join(ed, f"merge-{bid[:8]}.txt"), "w") as f:
+                    f.write(plan)
+            except Exception:
+                pass
         n_out = max(len(affected), 1)
         wd = self.vault.new_write_dir(bid[:8])
         if self.write_mode == "mor":

@@ -886,7 +886,7 @@ class _LakeVaultWriterCore:
         os.makedirs(self.write_dir, exist_ok=True)
         key0 = self.key_cols[0]
         entries: list[dict[str, Any]] = []
-        for b in np.unique(buckets):  # noqa: B007 — chunk-scoped bucket loop
+        for b in np.unique(buckets):
             part = t.filter(pa.array(buckets == b))
             full = os.path.join(self.write_dir, f"b{int(b)}-{_uuid.uuid4().hex}.parquet")
             pq.write_table(part, full)
