@@ -797,22 +797,24 @@ def _exact_rescore(
 ) -> DataFrame:
     """Join the (tiny) hit set back to its source vectors and score with the
     dim-unrolled IEEE-ordered dot — bit-identical to the fold and to the
-    DuckDB oracles. Sides validity-filter BEFORE the unrolled norms."""
+    DuckDB oracles. Sides validity-filter BEFORE the unrolled norms; the
+    norms themselves are computed AFTER the joins (r6, guide §1.2): a
+    pre-join projection evaluated the dim-term norm for every corpus row
+    when only the handful of joined survivors need it."""
 
-    def side(df: DataFrame, out_id: str, v_name: str, n_name: str) -> DataFrame:
+    def side(df: DataFrame, out_id: str, v_name: str) -> DataFrame:
         valid = _valid_vectors(df, vec_col, dim)
         v = F.col(vec_col).cast("array<double>")
-        nv = _norm_dim(v, dim)
-        return valid.select(
-            F.col(id_col).alias(out_id),
-            v.alias(v_name),
-            F.when(nv == 0, 1.0).otherwise(nv).alias(n_name),
-        )
+        return valid.select(F.col(id_col).alias(out_id), v.alias(v_name))
 
-    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    na_raw = _norm_dim(F.col("va"), dim)
+    nb_raw = _norm_dim(F.col("vb"), dim)
+    na = F.when(na_raw == 0, 1.0).otherwise(na_raw)
+    nb = F.when(nb_raw == 0, 1.0).otherwise(nb_raw)
+    cos = _dot_dim(F.col("va"), F.col("vb"), dim) / (na * nb)
     return (
-        pairs.join(side(left_src, left_out, "va", "na"), left_out)
-        .join(side(right_src, right_out, "vb", "nb"), right_out)
+        pairs.join(side(left_src, left_out, "va"), left_out)
+        .join(side(right_src, right_out, "vb"), right_out)
         .select(left_out, right_out, F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -677,6 +677,7 @@ class CDCEngine:
         malformed = ctrl["malformed"]
         _t0 = time.perf_counter()
 
+        qfut = None
         if m.quarantined:
             # Quarantine write lives in the DATA phase (not the prefetched
             # control phase) so a crash in chunk k never leaves dead-letter
@@ -684,15 +685,28 @@ class CDCEngine:
             # Per-batch subdir + overwrite => idempotent under crash-retry.
             # Distributed narrow write (no content column decoded — the WAL
             # chunk named in the manifest lineage retains the full payload):
-            # a parallel job, never a serial driver-side funnel.
+            # a parallel job, never a serial driver-side funnel. r6: the job
+            # runs on a side thread OVERLAPPING the merge job (guide §2.6 —
+            # Spark back-fills its tasks into the merge's straggler tail) and
+            # is joined BEFORE the commit below, so the crash contract is
+            # unchanged: either both jobs finished and the batch commits, or
+            # neither effect is visible to a resumed replay.
+            from concurrent.futures import ThreadPoolExecutor
+
             qdir = os.path.join(self.quarantine_dir, f"batch_id={bid}")
             ctrl_cols = [c for c in raw.columns if c != "content"]
-            (
-                raw.select(*ctrl_cols)
-                .where(malformed)
-                .write.mode("overwrite")
-                .parquet(qdir)
-            )
+
+            def _qwrite():
+                (
+                    raw.select(*ctrl_cols)
+                    .where(malformed)
+                    .write.mode("overwrite")
+                    .parquet(qdir)
+                )
+
+            qpool = ThreadPoolExecutor(max_workers=1)
+            qfut = qpool.submit(_qwrite)
+            qpool.shutdown(wait=False)
 
         schema = self.vault.snapshot().schema
         for r in schema_rows:
@@ -762,6 +776,8 @@ class CDCEngine:
         affected = ctrl["buckets"]
 
         if not affected:
+            if qfut is not None:
+                qfut.result()  # quarantine rows are part of this batch's effects
             new_schema = schema if m.schema_ops else None
             self.vault.commit(
                 add_write_dir=None,
@@ -1028,6 +1044,8 @@ class CDCEngine:
             for fn in fns
             if fn.endswith(".parquet")
         )
+        if qfut is not None:
+            qfut.result()  # must land before the commit (crash contract)
         _t0 = self._tick("merge_transform_write", _t0)
 
         if self.with_rollup:
