@@ -632,9 +632,11 @@ class CDCEngine:
         n_files = sum(1 for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
         if n_files < max(4, nshuffle // 4):
             raw = raw.repartition(nshuffle, "repo", "path")
-        # narrow control-plane view: everything except content (~80% of the
-        # bytes) — job 1 below never decodes the payload column
-        ctrl = raw.drop("content").observe(obs_in, *in_aggs)
+        # narrow control-plane view: job 1 below needs only the key/identity
+        # columns, op and props (schema events) — content (~80% of the
+        # bytes), ts and lang are never decoded here (r6: ts/lang dropped
+        # too; the quarantine write keeps them via its own projection)
+        ctrl = raw.drop("content", "ts", "lang").observe(obs_in, *in_aggs)
 
         # job 1 (tiny result; populates the observation): schema-evolution
         # events only — the malformed trickle stays distributed (collecting
